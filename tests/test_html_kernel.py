@@ -1,0 +1,98 @@
+"""Byte-identity tests for the HTML extraction kernel (SURVEY.md §5.3)."""
+
+import pytest
+
+from westa_ocr_spark.kernel.html_extract import extract_html
+
+
+def test_strips_boilerplate_keeps_content():
+    html = (
+        b"<html><head><title>T</title><style>p{}</style>"
+        b"<script>var a='<p>no</p>';</script></head><body>"
+        b'<nav><a href="/">Home</a> <a href="/x">X</a></nav>'
+        b"<article><h1>Big Title</h1>"
+        b"<p>First paragraph of real content here.</p>"
+        b"<p>Second paragraph, also real.</p></article>"
+        b'<footer><a href="/tos">Terms</a></footer></body></html>'
+    )
+    text, spans = extract_html(html)
+    assert text == (
+        "Big Title\n"
+        "First paragraph of real content here.\n"
+        "Second paragraph, also real."
+    )
+    assert [s["block_id"] for s in spans] == [1, 2, 3]
+    assert [s["tag"] for s in spans] == ["h1", "p", "p"]
+
+
+def test_span_offsets_are_utf8_byte_offsets():
+    html = "<body><p>café</p><p>あい</p></body>".encode()
+    text, spans = extract_html(html)
+    assert text == "café\nあい"
+    raw = text.encode("utf-8")
+    for s in spans:
+        assert raw[s["start"] : s["end"]].decode("utf-8") in ("café", "あい")
+    # 'café' = 5 bytes utf-8
+    assert spans[0] == {"block_id": 1, "start": 0, "end": 5, "tag": "p"}
+    assert spans[1] == {"block_id": 2, "start": 6, "end": 12, "tag": "p"}
+
+
+def test_entity_and_whitespace_normalization():
+    html = b"<p>caf&eacute; &amp;\t\n  co &#x3042;</p>"
+    text, _ = extract_html(html)
+    assert text == "café & co あ"
+
+
+def test_link_density_drops_menus():
+    # block that is entirely anchor text -> dropped
+    html = (
+        b'<div><a href="/a">aaa</a> <a href="/b">bbb</a></div>'
+        b"<p>real content sentence that is long enough</p>"
+    )
+    text, spans = extract_html(html)
+    assert text == "real content sentence that is long enough"
+    assert len(spans) == 1
+
+
+def test_mixed_block_below_density_threshold_kept():
+    # 10 plain chars vs 3 anchor chars -> density 3/13 < 0.5 -> kept
+    html = b'<p>plainplain <a href="/x">abc</a></p>'
+    text, _ = extract_html(html)
+    assert text == "plainplain abc"
+
+
+def test_br_becomes_space():
+    html = b"<p>one<br>two</p>"
+    text, _ = extract_html(html)
+    assert text == "one two"
+
+
+def test_nested_div_segmentation_and_order():
+    html = (
+        b"<article><p>alpha</p><div><p>beta</p></div><p>gamma</p></article>"
+    )
+    text, spans = extract_html(html)
+    assert text == "alpha\nbeta\ngamma"
+    assert [s["block_id"] for s in spans] == [1, 2, 3]
+
+
+def test_text_after_nested_block_resumes_parent():
+    html = b"<div>before <p>inner</p> after</div>"
+    text, spans = extract_html(html)
+    assert text == "before\ninner\nafter"
+    assert [s["tag"] for s in spans] == ["div", "p", "div"]
+
+
+def test_invalid_utf8_raises():
+    with pytest.raises(UnicodeDecodeError):
+        extract_html(b"\xff\xfe<html><p>bad</p>")
+
+
+def test_empty_and_comment_only():
+    assert extract_html(b"") == ("", [])
+    assert extract_html(b"<!-- nothing -->") == ("", [])
+
+
+def test_deterministic():
+    html = b"<p>stable bytes every run</p>"
+    assert extract_html(html) == extract_html(html)

@@ -1,0 +1,189 @@
+"""Deterministic synthetic Common-Crawl-style corpus generator.
+
+Materializes the ``pages`` table mandated by BASELINE.json ``input_hint``
+(``url:string, warc_ts:timestamp, html:binary, text:string, lang:string``)
+per the grammar in FIXTURES.md §1: seeded HTML docs with high-link-density
+nav/header/footer boilerplate plus low-density main content, ~5% PDF byte
+streams, ~1% oversized payloads (>=256 KiB, exercises salt-based skew
+splitting), ~1% malformed inputs (exercises the per-row ERROR path,
+cf. ``/root/reference/app/worker.py:798-823``).
+
+All row values are content-derived (sha256 of the row index) — no
+wall-clock, no ambient randomness (SURVEY.md §7.3); identical output for
+a given (n_rows, seed) on every run and Python version.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import os
+
+from westa_ocr_spark.kernel.pdf_mini import write_pdf
+
+_WORDS = (
+    "spark shuffle partition columnar vector batch arrow kernel density "
+    "boiler content extract document crawl archive token stream page block "
+    "anchor footer header nav script style entity whitespace unicode text "
+    "offset span manifest lineage resume checkpoint idempotent upsert merge "
+    "salt skew broadcast join aggregate window explode filter project scan"
+).split()
+
+_LANGS = ["en", "ja", "de", "fr", "pt"]
+
+EPOCH = _dt.datetime(2025, 1, 1, tzinfo=_dt.timezone.utc)
+OVERSIZED_BYTES = 256 * 1024
+
+
+def _h(i: int, salt: str, seed: int = 42) -> bytes:
+    return hashlib.sha256(f"{seed}:{salt}:{i}".encode()).digest()
+
+
+def _hint(i: int, salt: str, mod: int, seed: int = 42) -> int:
+    return int.from_bytes(_h(i, salt, seed)[:8], "big") % mod
+
+
+def _sentence(i: int, j: int, n_words: int, seed: int = 42) -> str:
+    words = [
+        _WORDS[_hint(i * 1000 + j * 37 + k, "w", len(_WORDS), seed)]
+        for k in range(n_words)
+    ]
+    words[0] = words[0].capitalize()
+    return " ".join(words) + "."
+
+
+def _paragraph(i: int, j: int, seed: int = 42) -> str:
+    n_sent = 2 + _hint(i * 31 + j, "ns", 4, seed)
+    return " ".join(_sentence(i, j * 10 + s, 6 + _hint(i + s, "nw", 9, seed))
+                    for s in range(n_sent))
+
+
+def url_for(i: int, seed: int = 42) -> str:
+    slug = hashlib.sha256(f"{seed}:{i}".encode()).hexdigest()[:12]
+    return f"https://site{i % 97}.example/p/{slug}"
+
+
+def kind_for(i: int) -> str:
+    """Row kind by index: deterministic mix per FIXTURES.md §1."""
+    if i % 100 == 93:
+        return "malformed"
+    if i % 100 == 71:
+        return "oversized"
+    if i % 20 == 7:
+        return "pdf"
+    return "html"
+
+
+def make_html(i: int, seed: int = 42, oversized: bool = False) -> bytes:
+    """Assemble one synthetic HTML document from the seeded grammar."""
+    n_para = 3 + _hint(i, "np", 10, seed)  # 3..12 main-content blocks
+    paras = [_paragraph(i, j, seed) for j in range(n_para)]
+    if oversized:
+        reps = OVERSIZED_BYTES // max(1, len(" ".join(paras))) + 1
+        paras = [p for _ in range(reps) for p in paras]
+
+    nav_links = "".join(
+        f'<li><a href="/s/{k}">{_WORDS[_hint(i + k, "nl", len(_WORDS), seed)]}'
+        f"</a></li>"
+        for k in range(6)
+    )
+    entity_word = "caf&eacute; &amp; &#x3042;"  # entity normalization probe
+    body_paras = "".join(
+        f"<p>{p}</p>" if j % 3 else f"<div><p>{p}</p></div>"
+        for j, p in enumerate(paras)
+    )
+    html = (
+        "<!DOCTYPE html><html><head><title>t</title>"
+        "<style>p{color:red}</style>"
+        "<script>var x = '<p>not content</p>';</script></head>"
+        "<body>"
+        f"<nav><ul>{nav_links}</ul></nav>"
+        f'<header><a href="/">home</a> <a href="/about">about</a></header>'
+        "<article>"
+        f"<h1>{_sentence(i, 999, 4, seed)[:-1]}</h1>"
+        f"<p>intro {entity_word} \t\n  spaced</p>"
+        f"{body_paras}"
+        "</article>"
+        "<!-- a comment that must vanish -->"
+        f'<footer><a href="/tos">terms</a> <a href="/priv">privacy</a>'
+        "</footer></body></html>"
+    )
+    return html.encode("utf-8")
+
+
+def make_pdf(i: int, seed: int = 42) -> bytes:
+    n_pages = 1 + _hint(i, "pp", 3, seed)  # 1..3 pages
+    pages = [
+        "\n".join(_sentence(i, p * 100 + line, 7, seed) for line in range(3))
+        for p in range(n_pages)
+    ]
+    return write_pdf(pages)
+
+
+def make_malformed(i: int) -> bytes:
+    if i % 2:
+        return b"\xff\xfe\x00<html><p>bad bytes" + _h(i, "mal")[:8]
+    return b"%PDF-1.4\n1 0 obj\n<< truncated"
+
+
+def make_row(i: int, seed: int = 42) -> dict:
+    kind = kind_for(i)
+    if kind == "pdf":
+        html = make_pdf(i, seed)
+    elif kind == "malformed":
+        html = make_malformed(i)
+    elif kind == "oversized":
+        html = make_html(i, seed, oversized=True)
+    else:
+        html = make_html(i, seed)
+    return {
+        "url": url_for(i, seed),
+        "warc_ts": EPOCH + _dt.timedelta(seconds=137 * i),
+        "html": html,
+        "text": _paragraph(i, 0, seed) if kind == "html" else "",
+        "lang": _LANGS[i % len(_LANGS)],
+    }
+
+
+def generate_rows(n: int, seed: int = 42):
+    for i in range(n):
+        yield make_row(i, seed)
+
+
+def write_pages_parquet(path: str, n: int, seed: int = 42,
+                        rows_per_file: int = 10_000) -> str:
+    """Write the pages table as a parquet directory (no Spark needed).
+
+    Multiple files so a Spark scan parallelizes across input splits.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("warc_ts", pa.timestamp("us", tz="UTC")),
+            pa.field("html", pa.binary()),
+            pa.field("text", pa.string()),
+            pa.field("lang", pa.string()),
+        ]
+    )
+    os.makedirs(path, exist_ok=True)
+    buf: list[dict] = []
+    part = 0
+
+    def _flush() -> None:
+        nonlocal buf, part
+        if not buf:
+            return
+        table = pa.Table.from_pylist(buf, schema=schema)
+        pq.write_table(table, os.path.join(path, f"part-{part:05d}.parquet"))
+        buf = []
+        part += 1
+
+    for row in generate_rows(n, seed):
+        buf.append(row)
+        if len(buf) >= rows_per_file:
+            _flush()
+    _flush()
+    return path
