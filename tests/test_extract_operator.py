@@ -1,0 +1,81 @@
+"""Spark extraction operator vs. the pure kernel: byte-identity per url.
+
+The kernel defines the bytes; Spark must not change them
+(SURVEY.md §7.2 step 2, BASELINE.json: "byte-identical extracted text
+per url").
+"""
+
+import pyarrow.parquet as pq
+import pytest
+
+from westa_ocr_spark.operators.extract import extract_pages, extract_rows
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, pages_parquet):
+    df = extract_pages(spark.read.parquet(pages_parquet))
+    rows = {(r["url"], r["page_index"]): r.asDict(recursive=True)
+            for r in df.collect()}
+    return rows
+
+
+@pytest.fixture(scope="module")
+def expected(pages_parquet):
+    table = pq.read_table(pages_parquet)
+    rows = {}
+    for rec in table.to_pylist():
+        for out in extract_rows(rec["url"], rec["html"]):
+            rows[(out["url"], out["page_index"])] = out
+    return rows
+
+
+def test_row_keys_match(extracted, expected):
+    assert set(extracted) == set(expected)
+    assert len(extracted) > 200  # pdf fan-out adds rows
+
+
+def test_text_byte_identical(extracted, expected):
+    for key, exp in expected.items():
+        got = extracted[key]
+        if exp["text"] is None:
+            assert got["text"] is None
+        else:
+            assert got["text"].encode("utf-8") == exp["text"].encode(
+                "utf-8"
+            ), f"text mismatch for {key}"
+
+
+def test_spans_identical(extracted, expected):
+    for key, exp in expected.items():
+        assert extracted[key]["spans"] == exp["spans"], key
+
+
+def test_status_and_errors(extracted, expected):
+    n_err = 0
+    for key, exp in expected.items():
+        got = extracted[key]
+        assert got["status"] == exp["status"]
+        assert (got["error"] is None) == (exp["error"] is None)
+        n_err += got["status"] == "ERROR"
+    assert n_err == 2  # i in {93, 193} of 200
+
+
+def test_pdf_pages_one_based_and_contiguous(extracted):
+    by_url = {}
+    for (url, idx), row in extracted.items():
+        if row["kind"] == "pdf":
+            by_url.setdefault(url, []).append(idx)
+    assert by_url, "no pdf docs in corpus slice"
+    for url, idxs in by_url.items():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1))
+
+
+def test_column_pruned_scan(spark, pages_parquet):
+    # the plan must read only url+html from parquet, not all 5 columns
+    plan = extract_pages(
+        spark.read.parquet(pages_parquet)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "url" in read_schema and "html" in read_schema
+    assert "warc_ts" not in read_schema and "lang" not in read_schema

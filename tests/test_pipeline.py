@@ -1,0 +1,104 @@
+"""End-to-end pipeline tests: counters, manifest, resume, upsert, skew."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from westa_ocr_spark.corpus import write_pages_parquet
+from westa_ocr_spark.operators.partitioning import skew_repartition
+from westa_ocr_spark.plans.pipeline import run_extraction_job
+from westa_ocr_spark.sources.tables import ParquetTable
+
+
+@pytest.fixture(scope="module")
+def job(spark, pages_parquet, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("job") / "out")
+    res = run_extraction_job(
+        spark, pages_parquet, out, num_partitions=4, run_id="r1"
+    )
+    return res
+
+
+def test_counters(job):
+    assert job.docs_in == 200
+    assert job.docs_done == 198
+    assert job.docs_error == 2  # i in {93,193}
+    assert job.rows_written > 200  # pdf fan-out
+    assert job.resumed_skipped == 0
+
+
+def test_manifest_semantics(spark, job):
+    man = ParquetTable(f"{job.out_dir}/manifest").read(spark)
+    rows = {r["url"]: r.asDict(recursive=True) for r in man.collect()}
+    assert len(rows) == 200
+    for r in rows.values():
+        assert r["skipped_blocks"] == max(
+            0, r["total_blocks"] - r["processed_blocks"]
+        )
+        if r["status"] == "ERROR":
+            assert r["errors"] and r["last_error"]
+            assert r["errors"][0]["message"].startswith("extract: ")
+        else:
+            assert r["errors"] == [] and r["last_error"] == ""
+
+
+def test_lineage_totals(spark, job):
+    lin = ParquetTable(f"{job.out_dir}/lineage").read(spark)
+    agg = lin.groupBy().sum("rows", "docs", "errors").collect()[0]
+    assert agg[0] == job.rows_written
+    assert agg[1] == 200
+    assert agg[2] == 2
+
+
+def test_resume_skips_committed_work(spark, job, tmp_path_factory):
+    # grow the corpus 200 -> 250: deterministic generator means the
+    # first 200 rows are identical, so resume must skip exactly 200.
+    bigger = str(tmp_path_factory.mktemp("corpus2") / "pages")
+    write_pages_parquet(bigger, n=250, seed=42, rows_per_file=50)
+    res2 = run_extraction_job(
+        spark, bigger, job.out_dir, num_partitions=4, run_id="r2"
+    )
+    assert res2.resumed_skipped == 200
+    assert res2.docs_in == 250
+    man = ParquetTable(f"{job.out_dir}/manifest").read(spark)
+    assert man.count() == 250
+
+
+def test_upsert_is_idempotent(spark, job, pages_parquet):
+    ext = ParquetTable(f"{job.out_dir}/extracted")
+    before = {
+        (r["url"], r["page_index"]): r["text"]
+        for r in ext.read(spark).collect()
+    }
+    # re-run without resume: every row rewritten via merge, results equal
+    res = run_extraction_job(
+        spark, pages_parquet, job.out_dir, num_partitions=4,
+        resume=False, run_id="r3",
+    )
+    after = {
+        (r["url"], r["page_index"]): r["text"]
+        for r in ext.read(spark).collect()
+    }
+    assert before == after
+    assert res.resumed_skipped == 0
+
+
+def test_skew_repartition_balances_oversized(spark, pages_parquet):
+    from pyspark.sql import functions as F
+
+    pages = spark.read.parquet(pages_parquet).select("url", "html")
+    parted = skew_repartition(pages, 4, big_partitions=2)
+    sizes = (
+        parted.withColumn("pid", F.spark_partition_id())
+        .withColumn("big", F.octet_length("html") >= 256 * 1024)
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("big").cast("int")).alias("n_big"),
+        )
+        .collect()
+    )
+    # oversized rows (i in {71,171} -> 2 rows) live in dedicated
+    # round-robin partitions, at most ceil(2/2)=1 per partition
+    big_counts = [r["n_big"] for r in sizes if r["n_big"] > 0]
+    assert sum(big_counts) == 2
+    assert max(big_counts) == 1

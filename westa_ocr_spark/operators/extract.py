@@ -1,0 +1,149 @@
+"""The extraction operator: Arrow-batched mapInPandas over page bytes.
+
+Spark-first re-expression of the reference's per-page extraction stage
+(fetch->split->extract, ``/root/reference/app/worker.py:170-408`` and
+``/root/reference/app/gemini.py:46-136``), with:
+
+* PDF page fan-out inside the batch (1 input row -> N output rows,
+  1-based ``page_index`` — the reference's split contract,
+  ``/root/reference/app/pdf_utils.py:23-36``);
+* HTML main-content extraction via the deterministic kernel;
+* per-row error capture — a malformed payload yields a
+  ``status='ERROR'`` row, never a task failure (reference behavior:
+  ``/root/reference/app/worker.py:798-823``);
+* content-type dispatch by magic bytes (the reference gates on
+  ``splitMode`` — ``/root/reference/app/worker.py:219-220`` — we
+  dispatch per row and support both).
+
+Data crosses the Python boundary once, as Arrow record batches; there
+is no per-row Python at the driver and no RDD usage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from westa_ocr_spark.kernel.html_extract import extract_html
+from westa_ocr_spark.kernel.pdf_mini import extract_pdf_pages
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("block_id", T.IntegerType(), False),
+            T.StructField("start", T.LongType(), False),
+            T.StructField("end", T.LongType(), False),
+            T.StructField("tag", T.StringType(), False),
+        ]
+    )
+)
+
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("page_index", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("spans", SPAN_TYPE, True),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("input_bytes", T.LongType(), False),
+        T.StructField("n_blocks", T.IntegerType(), False),
+    ]
+)
+
+
+def _pdf_line_spans(page_text: str) -> list[dict]:
+    """Per-line spans for PDF pages (block = line, tag='line')."""
+    spans: list[dict] = []
+    offset = 0
+    for block_id, line in enumerate(page_text.split("\n"), start=1):
+        nbytes = len(line.encode("utf-8"))
+        spans.append(
+            {"block_id": block_id, "start": offset, "end": offset + nbytes,
+             "tag": "line"}
+        )
+        offset += nbytes + 1
+    return spans
+
+
+def extract_rows(url: str, data: bytes) -> list[dict]:
+    """Pure per-document extraction: 1 doc -> N page rows.
+
+    Shared by the Spark operator and the fixture generator so the
+    byte-identity contract has a single definition.
+    """
+    input_bytes = len(data) if data is not None else 0
+    try:
+        if data is not None and data.startswith(b"%PDF-"):
+            pages = extract_pdf_pages(data)
+            return [
+                {
+                    "url": url,
+                    "page_index": idx,
+                    "text": page,
+                    "spans": _pdf_line_spans(page),
+                    "status": "DONE",
+                    "error": None,
+                    "kind": "pdf",
+                    "input_bytes": input_bytes,
+                    "n_blocks": page.count("\n") + 1,
+                }
+                for idx, page in enumerate(pages, start=1)
+            ]
+        text, spans = extract_html(data if data is not None else b"")
+        return [
+            {
+                "url": url,
+                "page_index": 1,
+                "text": text,
+                "spans": spans,
+                "status": "DONE",
+                "error": None,
+                "kind": "html",
+                "input_bytes": input_bytes,
+                "n_blocks": len(spans),
+            }
+        ]
+    except (ValueError, UnicodeDecodeError) as exc:
+        # error-prefix concat contract: "{prefix}: {exc}"
+        # (/root/reference/app/worker.py:821)
+        return [
+            {
+                "url": url,
+                "page_index": 1,
+                "text": None,
+                "spans": None,
+                "status": "ERROR",
+                "error": f"extract: {exc}",
+                "kind": "error",
+                "input_bytes": input_bytes,
+                "n_blocks": 0,
+            }
+        ]
+
+
+def _extract_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        out: list[dict] = []
+        for url, data in zip(batch["url"], batch["html"]):
+            out.extend(extract_rows(url, data))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in EXTRACTED_SCHEMA.fields]
+        )
+
+
+def extract_pages(pages: DataFrame) -> DataFrame:
+    """Run extraction over a pages DataFrame (needs url + html cols).
+
+    Column-prunes to (url, html) before the Python boundary so the
+    parquet scan reads only those columns.
+    """
+    return pages.select("url", "html").mapInPandas(
+        _extract_batches, schema=EXTRACTED_SCHEMA
+    )

@@ -1,0 +1,122 @@
+"""Keyed-table sink abstraction: Iceberg MERGE INTO with parquet fallback.
+
+The reference's core sink is an idempotent keyed upsert —
+``INSERT ... ON CONFLICT(job_id,page_index) DO UPDATE``
+(``/root/reference/app/repository.py:230-265``). The Spark-native
+equivalent is Iceberg ``MERGE INTO`` on ``(url, page_index)`` with
+snapshot-isolated commits. The Iceberg runtime jar is not available in
+this sandbox, so the same interface is served by a parquet-directory
+implementation whose upsert is read -> anti-join old vs new keys ->
+union -> atomic directory swap. Tests and the local pipeline run on the
+fallback; on a real cluster ``IcebergTable`` is selected automatically
+when the catalog is configured.
+
+Scale note (parquet fallback): the rewrite is O(table), acceptable only
+for incremental local runs — which is exactly why the real deployment
+target is Iceberg, where MERGE rewrites only matching data files and
+the commit is an O(1) metadata swap.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _dir_nonempty(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        name.endswith(".parquet") or name == "_SUCCESS"
+        for name in os.listdir(path)
+    )
+
+
+class ParquetTable:
+    """Directory-of-parquet keyed table with upsert semantics."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def exists(self) -> bool:
+        return _dir_nonempty(self.path)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def append(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.path)
+
+    def overwrite(self, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(self.path)
+
+    def merge_upsert(
+        self, spark: SparkSession, df: DataFrame, keys: list[str]
+    ) -> None:
+        """Upsert df by keys: new rows win over existing rows.
+
+        Mirrors the reference's ON CONFLICT DO UPDATE
+        (``/root/reference/app/repository.py:256-262``).
+        """
+        if not self.exists():
+            df.write.mode("overwrite").parquet(self.path)
+            return
+        existing = self.read(spark)
+        kept = existing.join(df.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(df.select(*existing.columns))
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+
+class IcebergTable:
+    """Iceberg-backed keyed table (requires a configured catalog)."""
+
+    def __init__(self, identifier: str) -> None:
+        self.identifier = identifier
+
+    def exists(self) -> bool:  # pragma: no cover - needs iceberg runtime
+        return True
+
+    def read(self, spark: SparkSession) -> DataFrame:  # pragma: no cover
+        return spark.read.table(self.identifier)
+
+    def merge_upsert(  # pragma: no cover - needs iceberg runtime
+        self, spark: SparkSession, df: DataFrame, keys: list[str]
+    ) -> None:
+        view = f"_merge_src_{uuid.uuid4().hex[:8]}"
+        df.createOrReplaceTempView(view)
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        spark.sql(
+            f"MERGE INTO {self.identifier} t USING {view} s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        spark.catalog.dropTempView(view)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is configured on this session."""
+    try:
+        conf = spark.conf
+        for key in ("spark.sql.catalog.spark_catalog",
+                    "spark.sql.catalog.iceberg"):
+            try:
+                if "iceberg" in (conf.get(key) or "").lower():
+                    return True
+            except Exception:
+                continue
+    except Exception:
+        pass
+    return False
+
+
+def keyed_table(spark: SparkSession, location: str):
+    """Pick the best available keyed-table implementation."""
+    if iceberg_available(spark) and "/" not in location:
+        return IcebergTable(location)  # pragma: no cover
+    return ParquetTable(location)
