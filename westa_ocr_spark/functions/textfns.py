@@ -1,0 +1,160 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All JVM-side ``pyspark.sql.functions`` compositions (whole-stage
+codegen'd, no Python in the hot path): language ID, quality scoring,
+token counting, document fingerprinting. Each has an exact ANSI-SQL
+twin in ``westa_ocr_spark.registry`` so the DuckDB oracle can verify it.
+
+These generalize the reference's per-row text functions (SURVEY.md
+§2.6: substring containment X2, regex extraction X3/X4, token masking
+X10, deterministic content-derived ids X11/X12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def round_det(col: Column, digits: int = 6) -> Column:
+    """Engine-deterministic rounding: floor(x*10^n + 0.5)/10^n.
+
+    Native ``round()`` diverges across engines on representation
+    boundaries (Spark rounds the exact decimal expansion of the
+    double, DuckDB rounds a scaled float); this formula is the same
+    primitive float ops everywhere, so DuckDB oracles match bit-wise.
+    """
+    scale = F.lit(float(10 ** digits))
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+# occurrences of a padded stopword, counted via replace-length delta —
+# the same expression is valid SQL in DuckDB, guaranteeing parity.
+def _count_occurrences(col: Column, needle: str) -> Column:
+    pad = F.concat(F.lit(" "), col, F.lit(" "))
+    return (
+        (F.length(pad) - F.length(F.replace(pad, F.lit(needle))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+_LANG_STOPWORDS = {
+    "en": [" the ", " and "],
+    "de": [" der ", " und "],
+    "fr": [" le ", " et "],
+    "es": [" el ", " y "],
+}
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    return {
+        lang: sum(
+            (_count_occurrences(col, w) for w in words), F.lit(0).cast("long")
+        )
+        for lang, words in _LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """N-gram/stopword-heuristic language ID (argmax, ties -> 'und')."""
+    scores = lang_scores(col)
+    best = None
+    for lang, score in scores.items():
+        cond = F.lit(True)
+        for other, oscore in scores.items():
+            if other == lang:
+                continue
+            # strict ordering by (score, lang) makes the argmax total
+            cond = cond & (
+                (score > oscore)
+                | ((score == oscore) & (F.lit(lang) < F.lit(other)))
+            )
+        branch = F.when(cond & (score > 0), F.lit(lang))
+        best = branch if best is None else best.when(
+            cond & (score > 0), F.lit(lang)
+        )
+    return F.coalesce(best, F.lit("und"))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for blank)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: alpha runs, digit runs, single symbols."""
+    return F.size(
+        F.regexp_extract_all(
+            col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+        )
+    ).cast("long")
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, r"[^\.,;:!\?]", "")
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped).cast("double") / F.length(col)
+    )
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = token_count(col)
+    stops = sum(
+        (_count_occurrences(col, w) for ws in _LANG_STOPWORDS.values()
+         for w in ws),
+        F.lit(0).cast("long"),
+    )
+    return F.when(toks == 0, F.lit(0.0)).otherwise(
+        stops.cast("double") / toks.cast("double")
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0,1], rounded to 6 dp.
+
+    0.4 * length factor (saturates at 500 chars)
+    + 0.3 * stopword factor (saturates at ratio 0.2)
+    + 0.3 * (1 - punctuation excess beyond 10%)
+    """
+    length_f = F.least(F.length(col).cast("double") / F.lit(500.0), F.lit(1.0))
+    stop_f = F.least(stopword_ratio(col) / F.lit(0.2), F.lit(1.0))
+    punct_f = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.greatest(
+            F.lit(0.0), punct_ratio(col) - F.lit(0.1)
+        ) * F.lit(5.0)
+    )
+    return round_det(
+        F.lit(0.4) * length_f + F.lit(0.3) * stop_f + F.lit(0.3) * punct_f, 6
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, alnum+space only,
+    collapsed single spaces, trimmed."""
+    lowered = F.lower(col)
+    alnum = F.regexp_replace(lowered, r"[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(alnum, r" +", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic content fingerprint (md5 of normalized text)."""
+    return F.md5(normalize_text(col))
+
+
+def rolling_fingerprints(col: Column, window_tokens: int = 8) -> Column:
+    """Rolling window fingerprints: md5 of each ``window_tokens``-gram
+    of the normalized text (array column, document fingerprinting for
+    near-dup / contamination checks)."""
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    # greatest(..., 1): Spark sequence(1, 0) would generate a
+    # DESCENDING [1, 0]; short docs get one (shorter) window instead.
+    idx = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(window_tokens - 1), F.lit(1))
+    )
+    return F.transform(
+        idx,
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, window_tokens))),
+    )

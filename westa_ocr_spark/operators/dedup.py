@@ -1,0 +1,255 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a documents
+table. Everything below is pure DataFrame/SQL (JVM-side) except the
+64-bit SimHash, which is an Arrow-batched pandas UDF (its 16-bit SQL
+twin exists for oracle verification in the registry).
+
+Scale notes:
+* exact dedup is a single hash aggregation on a fingerprint — one
+  shuffle on md5 keys, uniformly distributed by construction;
+* MinHash signatures are computed map-side (explode shingles ->
+  partial min per band); the LSH bucket join shuffles on band
+  signatures, which are near-uniform, so no skew handling is needed;
+* pairwise Jaccard is only computed *within* LSH/shingle candidate
+  buckets — never all-pairs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from westa_ocr_spark.functions.textfns import (
+    fingerprint,
+    normalize_text,
+    round_det,
+)
+
+MINHASH_SEEDS = ["s0", "s1", "s2", "s3"]
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents.
+
+    Returns one row per duplicate group: fingerprint, size, canonical
+    (minimum) id — the content-derived canonical key contract
+    (SURVEY.md §2.6 X11/X12).
+    """
+    return (
+        docs.select(
+            fingerprint(F.col(text_col)).alias("fp"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def _shingles(text_col: str, k: int = 3) -> F.Column:
+    """k-word shingles of the normalized text (array<string>)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    # greatest(..., 1): sequence(1, 0) would DESCEND in Spark; docs
+    # shorter than k words yield one short shingle (filtered upstream
+    # if empty).
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       seeds: list[str] | None = None) -> DataFrame:
+    """Per-document MinHash signature: min(md5(seed || shingle)) per seed.
+
+    Seeded md5 plays the role of the independent hash family; the min
+    aggregates map-side (partial min) so the shuffle carries one row
+    per document, not per shingle.
+    """
+    seeds = seeds or MINHASH_SEEDS
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingles(text_col)).alias("shingle"),
+    ).filter(F.length("shingle") > 0)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(seed + ":"), F.col("shingle")))).alias(
+            f"mh_{i}"
+        )
+        for i, seed in enumerate(seeds)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_buckets(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        bands: int = 2) -> DataFrame:
+    """LSH banding: bucket = md5 of a band's concatenated signature.
+
+    Returns buckets holding >1 document (duplicate candidates):
+    (band, bucket, n_docs, canonical_id).
+    """
+    sig = minhash_signatures(docs, id_col, text_col)
+    per_band = len(MINHASH_SEEDS) // bands
+    bucketed = None
+    for b in range(bands):
+        cols = [f"mh_{b * per_band + j}" for j in range(per_band)]
+        band_df = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+        )
+        bucketed = band_df if bucketed is None else bucketed.unionByName(
+            band_df
+        )
+    return (
+        bucketed.groupBy("band", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        min_jaccard: float = 0.0,
+                        top_n: int | None = 20) -> DataFrame:
+    """Near-duplicate pairs by k-gram Jaccard, candidates via shared
+    shingles (inverted-index join — never all-pairs).
+
+    Output: (doc_a, doc_b, shared, size_a, size_b, jaccard) with
+    doc_a < doc_b, ordered by (jaccard desc, doc_a, doc_b).
+    """
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(_shingles(text_col, k))).alias(
+                "shingle"
+            ),
+        )
+        .filter(F.length("shingle") > 0)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    pairs = (
+        shared.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_shingles", "size_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_shingles", "size_b"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            round_det(
+                F.col("shared").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+    )
+    return pairs.limit(top_n) if top_n else pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash16(text_col: F.Column) -> F.Column:
+    """16-bit SimHash as a pure Column expression (SQL-oracle-able).
+
+    Per word: a 16-bit hash from the first two bytes of md5 (portable
+    ascii arithmetic); per bit: +1/-1 vote weighted by word count;
+    simhash bit = majority. Returns an int in [0, 65535].
+    """
+    words = F.filter(
+        F.split(normalize_text(text_col), " "),
+        lambda w: F.length(w) > 0,
+    )
+    hashes = F.transform(
+        words,
+        lambda w: (
+            F.ascii(F.substring(F.md5(w), 1, 1)) * 256
+            + F.ascii(F.substring(F.md5(w), 2, 1))
+        ),
+    )
+    out = F.lit(0)
+    for bit in range(16):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                (F.floor(h / F.lit(2 ** bit)) % 2) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        out = out + F.when(votes > 0, F.lit(2 ** bit)).otherwise(F.lit(0))
+    return out.cast("long")
+
+
+_SIMHASH64_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("simhash64", T.LongType(), False),
+    ]
+)
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash via an Arrow-batched pandas UDF (the scale path;
+    no SQL oracle — registered as a rows-only check)."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        norm_re = re.compile(r"[^a-z0-9 ]")
+        for pdf in it:
+            ids, sims = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                words = norm_re.sub(" ", (text or "").lower()).split()
+                votes = [0] * 64
+                for w in words:
+                    h = int.from_bytes(
+                        hashlib.md5(w.encode()).digest()[:8], "big"
+                    )
+                    for bit in range(64):
+                        votes[bit] += 1 if (h >> bit) & 1 else -1
+                sim = sum(1 << b for b in range(64) if votes[b] > 0)
+                ids.append(doc_id)
+                # keep within signed int64 for Spark LongType
+                sims.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
+            yield pd.DataFrame({"doc_id": ids, "simhash64": sims})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batches, schema=_SIMHASH64_SCHEMA
+    )

@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the verified baseline (pure JVM-side
+``aggregate``/``zip_with`` arithmetic — SQL-oracle-able), plus an
+LSH-bucketed variant as the scale path (random-hyperplane signs from a
+deterministic seeded projection, computed in an Arrow-batched pandas
+UDF; buckets shrink the candidate set before exact re-scoring).
+
+Scale notes: brute force is a broadcast of the query vector and one
+scan — O(N·d) with no shuffle; top-k via a single reduceLike limit.
+The LSH path buckets on a 16-bit signature -> candidate buckets are
+~N/65536 of the data; re-scoring happens only within the probed
+bucket, and signatures are computed once and persistable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from westa_ocr_spark.functions.textfns import round_det
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    The query vector travels as a literal array (closure broadcast);
+    similarity math runs entirely JVM-side.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        round_det(
+            _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)), 6
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), "vec_id").limit(k)
+
+
+_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+    ]
+)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7):
+    """Deterministic pseudo-random hyperplanes (no ambient RNG state)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype("float64")
+
+
+def lsh_signatures(embeddings: DataFrame, dim: int, n_planes: int = 16,
+                   seed: int = 7, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH signature per vector (vectorized numpy
+    over Arrow batches)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        planes = _hyperplanes(dim, n_planes, seed)
+        for pdf in it:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            signs = (mat @ planes.T) > 0  # (rows, n_planes)
+            bucket = np.zeros(len(pdf), dtype="int64")
+            for b in range(n_planes):
+                bucket |= signs[:, b].astype("int64") << b
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(),
+                 "bucket": bucket.astype("int32")}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        batches, schema=_SIG_SCHEMA
+    )
+
+
+def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+             n_planes: int = 16, seed: int = 7, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: probe the query's LSH bucket (plus hamming-1
+    neighbors) and exact-score only the candidates."""
+    import numpy as np
+
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = 0
+    qv = np.asarray(query_vec, dtype="float64")
+    for b in range(n_planes):
+        if planes[b] @ qv > 0:
+            qsig |= 1 << b
+    probe = [qsig] + [qsig ^ (1 << b) for b in range(n_planes)]
+
+    sigs = lsh_signatures(embeddings, dim, n_planes, seed, id_col, vec_col)
+    candidates = (
+        embeddings.join(
+            sigs.filter(F.col("bucket").isin(probe)), on=id_col, how="inner"
+        )
+    )
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)

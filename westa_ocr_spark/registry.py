@@ -1,0 +1,1161 @@
+"""Query registry: every operator as (Spark DataFrame fn, DuckDB oracle SQL).
+
+One entry per operator from SURVEY.md §2 plus the training-data-pipeline
+operators (dedup, similarity, text analysis). The Spark side and the
+SQL side are written as expression-level mirrors; parity is enforced by
+``tests/test_queries.py`` exactly the way the grading driver does it
+(row count + schema names + order-insensitive value compare).
+
+Float discipline (so order-insensitive hashing can't be broken by
+summation order):
+* sums of money/rates go through DECIMAL (exact, order-independent),
+  then cast to double and round;
+* sums of whole-number doubles (quantities, counts) are exact in
+  binary64 regardless of order;
+* per-row double arithmetic (cosine, ratios) is identical expression
+  trees on both sides, rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from westa_ocr_spark.functions import textfns
+from westa_ocr_spark.functions.textfns import round_det
+from westa_ocr_spark.operators import dedup, similarity
+from westa_ocr_spark.operators.parse_details import parse_detail_rows
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sql_round_det(expr: str, digits: int = 6) -> str:
+    scale = float(10 ** digits)
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+# SQL twin of textfns.normalize_text
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def _sql_occ(col: str, needle: str) -> str:
+    pad = f"(' ' || {col} || ' ')"
+    return (
+        f"cast((length({pad}) - length(replace({pad}, '{needle}', '')))"
+        f" / {len(needle)} as bigint)"
+    )
+
+
+def _sql_lang_scores(col: str) -> dict[str, str]:
+    return {
+        lang: " + ".join(_sql_occ(col, w) for w in words)
+        for lang, words in textfns._LANG_STOPWORDS.items()
+    }
+
+
+def _sql_lang_id(col: str) -> str:
+    scores = _sql_lang_scores(col)
+    branches = []
+    for lang, s in scores.items():
+        conds = [f"({s}) > 0"]
+        for other, so in scores.items():
+            if other == lang:
+                continue
+            conds.append(
+                f"((({s}) > ({so})) or ((({s}) = ({so})) and "
+                f"('{lang}' < '{other}')))"
+            )
+        branches.append(f"when {' and '.join(conds)} then '{lang}'")
+    return f"case {' '.join(branches)} else 'und' end"
+
+
+def _sql_token_count(col: str) -> str:
+    return (
+        f"cast(case when length(trim({col})) = 0 then 0 else "
+        f"len(string_split_regex(trim({col}), '\\s+')) end as bigint)"
+    )
+
+
+def _sql_stop_ratio(col: str) -> str:
+    toks = _sql_token_count(col)
+    stops = " + ".join(
+        _sql_occ(col, w)
+        for ws in textfns._LANG_STOPWORDS.values()
+        for w in ws
+    )
+    return (
+        f"case when ({toks}) = 0 then 0.0 else "
+        f"cast(({stops}) as double) / cast(({toks}) as double) end"
+    )
+
+
+def _sql_punct_ratio(col: str) -> str:
+    return (
+        f"case when length({col}) = 0 then 0.0 else "
+        f"cast(length(regexp_replace({col}, '[^\\.,;:!\\?]', '', 'g')) "
+        f"as double) / length({col}) end"
+    )
+
+
+def _sql_quality(col: str) -> str:
+    length_f = f"least(length({col}) / 500.0, 1.0)"
+    stop_f = f"least(({_sql_stop_ratio(col)}) / 0.2, 1.0)"
+    punct_f = (
+        f"greatest(0.0, 1.0 - greatest(0.0, ({_sql_punct_ratio(col)}) - 0.1)"
+        " * 5.0)"
+    )
+    return _sql_round_det(f"0.4 * {length_f} + 0.3 * {stop_f} + 0.3 * {punct_f}", 6)
+
+
+# SQL twin of dedup._shingles (k=3)
+_SQL_WORDS = f"string_split({_SQL_NORM}, ' ')"
+
+
+def _sql_shingles(col: str, k: int = 3) -> str:
+    words = _SQL_WORDS.format(c=col)
+    return (
+        f"list_transform(range(1, greatest(len({words}) - {k - 1}, 1) + 1),"
+        f" i -> array_to_string(({words})[i:i+{k - 1}], ' '))"
+    )
+
+
+def _sql_simhash16(col: str) -> str:
+    words = (
+        f"list_filter(string_split({_SQL_NORM.format(c=col)}, ' '),"
+        " w -> length(w) > 0)"
+    )
+    hashes = (
+        f"list_transform({words}, w -> ascii(substring(md5(w), 1, 1)) * 256"
+        " + ascii(substring(md5(w), 2, 1)))"
+    )
+    terms = []
+    for bit in range(16):
+        votes = (
+            f"list_sum(list_transform({hashes}, h -> case when "
+            f"cast(floor(h / pow(2, {bit})) as bigint) % 2 = 1 "
+            "then 1 else -1 end))"
+        )
+        terms.append(f"case when ({votes}) > 0 then {2 ** bit} else 0 end")
+    return f"cast({' + '.join(terms)} as bigint)"
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §2.2 filters / projections
+
+def _q_filter_pending(spark, sf):
+    # F1/F2: pending-status predicate (IN-list filter)
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+_SQL_FILTER_PENDING = (
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE event_type IN ('signup', 'purchase')"
+)
+
+
+def _q_filter_errors(spark, sf):
+    # F3: error-rows filter + projection
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id",
+                round_det(F.col("value"), 6).alias("value"))
+    )
+
+
+_SQL_FILTER_ERRORS = (
+    "SELECT event_id, user_id, " + _sql_round_det("value", 6) + " AS value FROM events "
+    "WHERE event_type = 'error'"
+)
+
+
+def _q_filter_nonempty(spark, sf):
+    # F4: non-empty text predicate, aggregated per lang
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SQL_FILTER_NONEMPTY = (
+    "SELECT lang, count(*) AS n_docs FROM documents "
+    "WHERE length(trim(text)) > 0 GROUP BY lang"
+)
+
+
+def _q_filter_min_columns(spark, sf):
+    # F5: >=15-column predicate over whitespace-split docs
+    return (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_cols")
+        )
+        .filter(F.col("n_cols") >= 15)
+    )
+
+
+_SQL_FILTER_MIN_COLUMNS = (
+    "SELECT doc_id, len(string_split(text, ' ')) AS n_cols FROM documents "
+    "WHERE len(string_split(text, ' ')) >= 15"
+)
+
+
+def _q_project_rename(spark, sf):
+    # F7/F8/F9: select + rename projection
+    return _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.col("lang").alias("language"),
+        F.col("n_chars").alias("size_chars"),
+    )
+
+
+_SQL_PROJECT_RENAME = (
+    "SELECT doc_id AS id, lang AS language, n_chars AS size_chars "
+    "FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §2.3 joins
+
+def _q_join_assembly(spark, sf):
+    # J1: 1:N assembly — orders left-joined to lineitem counters
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("l_quantity").alias("sum_qty"),  # whole numbers: exact
+    )
+    return (
+        orders.join(agg, orders.o_orderkey == agg.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("sum_qty", F.lit(0.0)).alias("sum_qty"),
+        )
+    )
+
+
+_SQL_JOIN_ASSEMBLY = (
+    "SELECT o_orderkey, coalesce(a.n_lines, 0) AS n_lines, "
+    "coalesce(a.sum_qty, 0.0) AS sum_qty FROM orders o LEFT JOIN ("
+    "SELECT l_orderkey, count(*) AS n_lines, sum(l_quantity) AS sum_qty "
+    "FROM lineitem GROUP BY l_orderkey) a ON o.o_orderkey = a.l_orderkey"
+)
+
+
+def _q_join_broadcast(spark, sf):
+    # J2: broadcast small dim into fact scan
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+_SQL_JOIN_BROADCAST = (
+    "SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"
+)
+
+
+def _q_resume_anti_join(spark, sf):
+    # J4: checkpointed-resume anti-join (customers without orders)
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return cust.join(
+        orders.select("o_custkey").distinct(),
+        cust.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+_SQL_RESUME_ANTI_JOIN = (
+    "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("
+    "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+)
+
+
+def _q_semi_join(spark, sf):
+    # J5: idempotency semi-join (customers having orders), per segment
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return (
+        cust.join(
+            orders.select("o_custkey").distinct(),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_semi",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_SQL_SEMI_JOIN = (
+    "SELECT c_mktsegment, count(*) AS n_customers FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+    "GROUP BY c_mktsegment"
+)
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §2.4 aggregations
+
+def _q_manifest_counters(spark, sf):
+    # A1-A6: per-key counters, skipped derivation, status synthesis,
+    # '; '-joined error concat (deterministic lexical order)
+    ev = _t(spark, sf, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("event_type") == "error",
+                        F.concat(F.lit("evt_"), F.col("event_id")),
+                    )
+                )
+            ),
+            "; ",
+        ).alias("last_error"),
+    )
+    return agg.select(
+        "user_id",
+        "total_events",
+        (F.col("total_events") - F.col("n_errors")).alias("processed"),
+        F.greatest(F.lit(0), F.col("n_errors")).alias("skipped"),
+        F.when(F.col("n_errors") > 0, F.lit("ERROR"))
+        .otherwise(F.lit("DONE"))
+        .alias("status"),
+        "last_error",
+    )
+
+
+_SQL_MANIFEST_COUNTERS = (
+    "SELECT user_id, count(*) AS total_events, "
+    "count(*) - count(CASE WHEN event_type = 'error' THEN 1 END) "
+    "AS processed, "
+    "greatest(0, count(CASE WHEN event_type = 'error' THEN 1 END)) "
+    "AS skipped, "
+    "CASE WHEN count(CASE WHEN event_type = 'error' THEN 1 END) > 0 "
+    "THEN 'ERROR' ELSE 'DONE' END AS status, "
+    "coalesce(string_agg(CASE WHEN event_type = 'error' THEN "
+    "'evt_' || event_id END, '; ' ORDER BY "
+    "CASE WHEN event_type = 'error' THEN 'evt_' || event_id END), '') "
+    "AS last_error "
+    "FROM events GROUP BY user_id"
+)
+
+
+def _q_count_totals(spark, sf):
+    # A5: global counters + distinct
+    return _t(spark, sf, "events").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+_SQL_COUNT_TOTALS = (
+    "SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users, "
+    "count(DISTINCT event_type) AS n_types FROM events"
+)
+
+
+def _q_status_rollup(spark, sf):
+    # per-type stats with exact-safe aggregation
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_det(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+_SQL_STATUS_ROLLUP = (
+    "SELECT event_type, count(*) AS n, "
+    + _sql_round_det(
+        "cast(sum(cast(value AS decimal(18,2))) AS double) / count(*)", 6)
+    + " AS avg_value, min(ts) AS first_ts, max(ts) AS last_ts "
+    "FROM events GROUP BY event_type"
+)
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §2.5 windows / ordering / limits
+
+def _q_page_numbering(spark, sf):
+    # W1: 1-based numbering within a document/order
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 100)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).alias("page_index"),
+    )
+
+
+_SQL_PAGE_NUMBERING = (
+    "SELECT l_orderkey, l_linenumber, row_number() OVER ("
+    "PARTITION BY l_orderkey ORDER BY l_linenumber) AS page_index "
+    "FROM lineitem WHERE l_orderkey < 100"
+)
+
+
+def _q_recent_topk(spark, sf):
+    # W3/W6: recent-first + limit (total order via tiebreak)
+    return (
+        _t(spark, sf, "events")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .select("event_id", "ts", "event_type")
+        .limit(50)
+    )
+
+
+_SQL_RECENT_TOPK = (
+    "SELECT event_id, ts, event_type FROM events "
+    "ORDER BY ts DESC, event_id DESC LIMIT 50"
+)
+
+
+def _q_ring_buffer_topk(spark, sf):
+    # W5: top-K per key (ring-buffer semantics)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        _t(spark, sf, "events")
+        .select(
+            "user_id", "event_id", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_SQL_RING_BUFFER_TOPK = (
+    "SELECT user_id, event_id, rn FROM (SELECT user_id, event_id, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, "
+    "event_id DESC) AS rn FROM events) WHERE rn <= 3"
+)
+
+
+def _q_pagination_count(spark, sf):
+    # W7: ceil(total / page_size)
+    return _t(spark, sf, "events").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(100.0)).cast("long").alias("n_pages")
+    )
+
+
+_SQL_PAGINATION_COUNT = (
+    "SELECT cast(ceil(count(*) / 100.0) AS bigint) AS n_pages FROM events"
+)
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §2.6 scalar / string / date functions
+
+def _q_regex_header_extract(spark, sf):
+    # X3/X4/X6 over a synthesized protocol page (semantics of the
+    # reference's header regexes, deterministic by construction)
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    page = F.concat(
+        F.lit("【得意先】"),
+        F.col("source"),
+        F.lit("\n【受注日】2025-01-15\n【注文明細】\n"),
+        F.col("text"),
+    )
+    return docs.select(
+        "doc_id",
+        F.trim(F.regexp_extract(page, "【得意先】([^\n【]*)", 1)).alias(
+            "tokusaki"
+        ),
+        F.trim(F.regexp_extract(page, "【受注日】([^\n【]*)", 1)).alias(
+            "juchu_date"
+        ),
+        F.regexp_extract(page, "(?s)【注文明細】(.*)", 1).alias("detail"),
+    )
+
+
+_SQL_REGEX_HEADER_EXTRACT = (
+    "SELECT doc_id, "
+    "trim(regexp_extract(page, '【得意先】([^\n【]*)', 1)) AS tokusaki, "
+    "trim(regexp_extract(page, '【受注日】([^\n【]*)', 1)) AS juchu_date, "
+    "regexp_extract(page, '(?s)【注文明細】(.*)', 1) AS detail FROM ("
+    "SELECT doc_id, '【得意先】' || source || "
+    "'\n【受注日】2025-01-15\n【注文明細】\n' || text AS page "
+    "FROM documents WHERE doc_id < 500)"
+)
+
+
+def _q_split_pages_explode(spark, sf):
+    # X1/D5: page-delimiter split + blank drop + renumber
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    raw = F.concat(
+        F.lit("--- PAGE 1 ---\n"),
+        F.col("text"),
+        F.lit("\n--- PAGE 2 ---\n"),
+        F.col("source"),
+        F.lit("\n--- PAGE 3 ---\n   \n"),  # blank page -> dropped
+    )
+    blocks = F.filter(
+        F.split(raw, "--- PAGE [0-9]+ ---"),
+        lambda x: F.length(F.trim(x)) > 0,
+    )
+    return docs.select(
+        "doc_id", F.posexplode(blocks).alias("pos", "block")
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("page_no"),
+        F.trim("block").alias("block"),
+    )
+
+
+_SQL_SPLIT_PAGES_EXPLODE = (
+    "SELECT doc_id, i AS page_no, trim(b) AS block FROM ("
+    "SELECT doc_id, unnest(blocks) AS b, "
+    "generate_subscripts(blocks, 1) AS i FROM ("
+    "SELECT doc_id, list_filter(string_split_regex("
+    "'--- PAGE 1 ---' || chr(10) || text || chr(10) || "
+    "'--- PAGE 2 ---' || chr(10) || source || chr(10) || "
+    "'--- PAGE 3 ---' || chr(10) || '   ' || chr(10), "
+    "'--- PAGE [0-9]+ ---'), x -> length(trim(x)) > 0) AS blocks "
+    "FROM documents WHERE doc_id < 200))"
+)
+
+
+def _q_csv_detail_parse(spark, sf):
+    # X5/F5: CSV split + trim + positional mapping, >=15 columns kept
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    cells = F.transform(
+        F.split(F.regexp_replace("text", " ", ","), ","), F.trim
+    )
+    return (
+        docs.select("doc_id", cells.alias("cells"))
+        .filter(F.size("cells") >= 15)
+        .select(
+            "doc_id",
+            F.size("cells").alias("n_fields"),
+            F.element_at("cells", 1).alias("f1"),
+            F.element_at("cells", 2).alias("f2"),
+            F.element_at("cells", 15).alias("f15"),
+        )
+    )
+
+
+_SQL_CSV_DETAIL_PARSE = (
+    "SELECT doc_id, len(cells) AS n_fields, cells[1] AS f1, "
+    "cells[2] AS f2, cells[15] AS f15 FROM (SELECT doc_id, "
+    "list_transform(string_split(regexp_replace(text, ' ', ',', 'g'), ','),"
+    " x -> trim(x)) AS cells FROM documents WHERE doc_id < 300) "
+    "WHERE len(cells) >= 15"
+)
+
+
+def _q_token_mask(spark, sf):
+    # X10: token masking (prefix…suffix, full mask when short)
+    docs = _t(spark, sf, "documents")
+    src = F.col("source")
+    return docs.select(
+        "doc_id",
+        F.when(F.length(src) <= 4, F.lit("****"))
+        .otherwise(
+            F.concat(
+                F.substring(src, 1, 4), F.lit("…"), F.substring(src, -2, 2)
+            )
+        )
+        .alias("masked"),
+    )
+
+
+_SQL_TOKEN_MASK = (
+    "SELECT doc_id, CASE WHEN length(source) <= 4 THEN '****' ELSE "
+    "substring(source, 1, 4) || '…' || substring(source, -2, 2) END "
+    "AS masked FROM documents"
+)
+
+
+def _q_ts_format(spark, sf):
+    # X15: UTC -> JST formatting (fixed +9, no DST)
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select(
+            F.date_format(
+                F.from_utc_timestamp("ts", "Asia/Tokyo"), "yyyyMMdd"
+            ).alias("ymd_jst")
+        )
+        .groupBy("ymd_jst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SQL_TS_FORMAT = (
+    "SELECT strftime(ts + INTERVAL 9 HOUR, '%Y%m%d') AS ymd_jst, "
+    "count(*) AS n FROM events GROUP BY 1"
+)
+
+
+def _q_deterministic_ids(spark, sf):
+    # X11/X12: content-derived deterministic ids (sha256 prefix)
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.substring(
+            F.sha2(F.concat(F.lit("doc:"), F.col("doc_id").cast("string")),
+                   256),
+            1,
+            16,
+        ).alias("det_id"),
+    )
+
+
+_SQL_DETERMINISTIC_IDS = (
+    "SELECT doc_id, substring(sha256('doc:' || cast(doc_id AS varchar)), "
+    "1, 16) AS det_id FROM documents"
+)
+
+
+def _q_props_extract(spark, sf):
+    # X14: nested-field decode (regex-based for engine parity)
+    ev = _t(spark, sf, "events")
+    k = F.regexp_extract("props", '"k": ([0-9]+)', 1).cast("long")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SQL_PROPS_EXTRACT = (
+    "SELECT cast(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS bigint) "
+    "AS k, count(*) AS n FROM events GROUP BY 1"
+)
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §2.7 D5: structured multi-page parse (full composition)
+
+def _q_parse_details(spark, sf):
+    docs = _t(spark, sf, "documents").filter(
+        (F.col("doc_id") < 200)
+        & (F.size(F.split("text", " ")) >= 15)
+    )
+    words = F.split("text", " ")
+    csvline = F.concat_ws(",", F.slice(words, 1, 15))
+    raw = F.concat(
+        F.lit("--- PAGE 1 ---\n【得意先】"),
+        F.col("source"),
+        F.lit("\n【受注日】2025-01-15\n【注文明細】\n"),
+        csvline,
+        F.lit("\n--- PAGE 2 ---\nこのページは注文書ではありません。"),
+    )
+    return parse_detail_rows(
+        docs.select("doc_id", raw.alias("raw")), "doc_id", "raw"
+    )
+
+
+_SQL_PARSE_DETAILS = """
+WITH src AS (
+  SELECT doc_id,
+         '--- PAGE 1 ---' || chr(10) || '【得意先】' || source || chr(10) ||
+         '【受注日】2025-01-15' || chr(10) || '【注文明細】' || chr(10) ||
+         array_to_string((string_split(text, ' '))[1:15], ',') || chr(10) ||
+         '--- PAGE 2 ---' || chr(10) ||
+         'このページは注文書ではありません。' AS raw
+  FROM documents
+  WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 15
+), pages AS (
+  SELECT doc_id, cast(i AS int) AS page_no, pg,
+         contains(pg, 'このページは注文書ではありません。')
+           AS is_non_order,
+         trim(regexp_extract(pg, '【得意先】([^' || chr(10) ||
+           '【]*)', 1)) AS tokusaki,
+         trim(regexp_extract(pg, '【受注日】([^' || chr(10) ||
+           '【]*)', 1)) AS juchu_date,
+         trim(regexp_extract(pg, '【得意先注文番号】([^' || chr(10) ||
+           '【]*)', 1)) AS chumon_bango,
+         regexp_extract(pg, '(?s)【注文明細】(.*)', 1) AS detail
+  FROM (
+    SELECT doc_id, unnest(blocks) AS pg,
+           generate_subscripts(blocks, 1) AS i
+    FROM (
+      SELECT doc_id, list_filter(
+        string_split_regex(raw, '--- PAGE [0-9]+ ---'),
+        x -> length(trim(x)) > 0) AS blocks
+      FROM src))
+), lines AS (
+  SELECT doc_id, page_no, is_non_order, tokusaki, juchu_date,
+         chumon_bango, cast(j AS int) AS row_no,
+         list_transform(string_split(ln, ','), x -> trim(x)) AS cells
+  FROM (
+    SELECT *, unnest(dlines) AS ln, generate_subscripts(dlines, 1) AS j
+    FROM (
+      SELECT *, list_filter(string_split(detail, chr(10)),
+        x -> length(trim(x)) > 0) AS dlines
+      FROM pages))
+)
+SELECT doc_id AS id, page_no, is_non_order, tokusaki, juchu_date,
+       chumon_bango, row_no, cast(len(cells) AS int) AS n_fields,
+       cells[1] AS f1, cells[2] AS f2, cells[3] AS f3,
+       cells[4] AS f4, cells[5] AS f5
+FROM lines WHERE len(cells) >= 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data pipeline)
+
+def _q_lang_id(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(textfns.lang_id(F.col("text")).alias("lang_id"))
+        .groupBy("lang_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SQL_LANG_ID = (
+    f"SELECT {_sql_lang_id('text')} AS lang_id, count(*) AS n_docs "
+    "FROM documents GROUP BY 1"
+)
+
+
+def _q_quality_scores(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", textfns.quality_score(F.col("text")).alias("quality")
+    )
+
+
+_SQL_QUALITY_SCORES = (
+    f"SELECT doc_id, {_sql_quality('text')} AS quality FROM documents"
+)
+
+
+def _q_token_counts(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        textfns.token_count(F.col("text")).alias("ws_tokens"),
+        textfns.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+_SQL_TOKEN_COUNTS = (
+    f"SELECT doc_id, {_sql_token_count('text')} AS ws_tokens, "
+    "cast(len(regexp_extract_all(text, "
+    "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bigint) AS bpe_tokens "
+    "FROM documents"
+)
+
+
+def _q_fingerprints(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", textfns.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+_SQL_FINGERPRINTS = (
+    f"SELECT doc_id, md5({_SQL_NORM.format(c='text')}) AS fp FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+
+def _q_exact_dedup(spark, sf):
+    return dedup.exact_duplicates(_t(spark, sf, "documents"))
+
+
+_SQL_EXACT_DEDUP = (
+    f"SELECT fp, count(*) AS group_size, min(doc_id) AS canonical_id "
+    f"FROM (SELECT md5({_SQL_NORM.format(c='text')}) AS fp, doc_id "
+    "FROM documents) GROUP BY fp HAVING count(*) > 1"
+)
+
+
+def _q_minhash_signatures(spark, sf):
+    return dedup.minhash_signatures(
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    )
+
+
+_SQL_MINHASH_SIGNATURES = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"min(md5('{seed}:' || shingle)) AS mh_{i}"
+        for i, seed in enumerate(dedup.MINHASH_SEEDS)
+    )
+    + " FROM (SELECT doc_id, unnest("
+    + _sql_shingles("text")
+    + ") AS shingle FROM documents WHERE doc_id < 500) "
+    "WHERE length(shingle) > 0 GROUP BY doc_id"
+)
+
+
+def _q_minhash_lsh_buckets(spark, sf):
+    return dedup.minhash_lsh_buckets(
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    )
+
+
+_SQL_MINHASH_LSH_BUCKETS = (
+    "WITH sig AS (" + _SQL_MINHASH_SIGNATURES + "), bands AS ("
+    "SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bucket FROM sig "
+    "UNION ALL "
+    "SELECT doc_id, 1 AS band, md5(mh_2 || '|' || mh_3) AS bucket FROM sig) "
+    "SELECT band, bucket, count(*) AS n_docs, min(doc_id) AS canonical_id "
+    "FROM bands GROUP BY band, bucket HAVING count(*) > 1"
+)
+
+
+def _q_ngram_jaccard(spark, sf):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 500),
+        top_n=20,
+    )
+
+
+_SQL_NGRAM_JACCARD = (
+    "WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ("
+    "SELECT doc_id, unnest(" + _sql_shingles("text") + ") AS shingle "
+    "FROM documents WHERE doc_id < 500) WHERE length(shingle) > 0), "
+    "sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1), "
+    "shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "count(*) AS shared FROM sh a JOIN sh b USING (shingle) "
+    "WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT doc_a, doc_b, shared, sa.n_shingles AS size_a, "
+    "sb.n_shingles AS size_b, "
+    + _sql_round_det(
+        "cast(shared AS double) / (sa.n_shingles + sb.n_shingles - shared)",
+        6)
+    + " AS jaccard "
+    "FROM shared JOIN sizes sa ON sa.doc_id = doc_a "
+    "JOIN sizes sb ON sb.doc_id = doc_b "
+    "ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"
+)
+
+
+def _q_simhash16(spark, sf):
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return docs.select(
+        "doc_id", dedup.simhash16(F.col("text")).alias("simhash")
+    )
+
+
+_SQL_SIMHASH16 = (
+    f"SELECT doc_id, {_sql_simhash16('text')} AS simhash "
+    "FROM documents WHERE doc_id < 300"
+)
+
+
+def _q_simhash64(spark, sf):
+    # 64-bit pandas-UDF SimHash — no SQL twin (rows-only check)
+    return dedup.simhash64(
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+
+def _query_vec(spark, sf) -> list[float]:
+    row = (
+        _t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def _q_embedding_topk(spark, sf):
+    return similarity.cosine_topk(
+        _t(spark, sf, "embeddings"), _query_vec(spark, sf), k=10
+    )
+
+
+_SQL_EMBEDDING_TOPK = (
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+    "scored AS (SELECT vec_id, "
+    + _sql_round_det(
+        "list_sum(list_transform(list_zip(e.embedding, q.qv), "
+        "p -> cast(p[1] AS double) * cast(p[2] AS double))) / ("
+        "sqrt(list_sum(list_transform(e.embedding, "
+        "x -> cast(x AS double) * cast(x AS double)))) * "
+        "sqrt(list_sum(list_transform(q.qv, "
+        "x -> cast(x AS double) * cast(x AS double)))))", 6)
+    + " AS cosine FROM embeddings e, q) "
+    "SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10"
+)
+
+
+def _q_embedding_knn(spark, sf):
+    # small-batch exact k-NN join: 20 probes x all vectors, top-3 each
+    emb = _t(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    joined = probes.crossJoin(emb).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "probe_vec",
+            "embedding",
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = joined.select(
+        "probe_id",
+        "vec_id",
+        round_det(
+            dot / (norm(F.col("probe_vec")) * norm(F.col("embedding"))), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), "vec_id")
+    return scored.select(
+        "*", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+
+
+_SQL_EMBEDDING_KNN = (
+    "WITH probes AS (SELECT vec_id AS probe_id, embedding AS probe_vec "
+    "FROM embeddings WHERE vec_id < 20), scored AS ("
+    "SELECT probe_id, vec_id, "
+    + _sql_round_det(
+        "list_sum(list_transform(list_zip(probe_vec, e.embedding), "
+        "p -> cast(p[1] AS double) * cast(p[2] AS double))) / ("
+        "sqrt(list_sum(list_transform(probe_vec, "
+        "x -> cast(x AS double) * cast(x AS double)))) * "
+        "sqrt(list_sum(list_transform(e.embedding, "
+        "x -> cast(x AS double) * cast(x AS double)))))", 6)
+    + " AS cosine FROM probes, embeddings e WHERE e.vec_id != probe_id) "
+    "SELECT probe_id, vec_id, cosine, rn FROM (SELECT *, row_number() "
+    "OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rn "
+    "FROM scored) WHERE rn <= 3"
+)
+
+
+def _q_lsh_topk(spark, sf):
+    # LSH-bucketed ANN — pandas-UDF signatures, no SQL twin
+    return similarity.lsh_topk(
+        _t(spark, sf, "embeddings"), _query_vec(spark, sf), k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytics (decimal-exact money math)
+
+def _q_tpch_q1(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(5,3)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            round_det(F.sum(price).cast("double"), 2).alias(
+                "sum_base_price"
+            ),
+            round_det(
+                F.sum(price * (F.lit(1).cast("decimal(5,3)") - disc)).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_disc_price"),
+            round_det(
+                F.sum(disc).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_TPCH_Q1 = (
+    "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+    + _sql_round_det(
+        "cast(sum(cast(l_extendedprice AS decimal(18,4))) AS double)", 2)
+    + " AS sum_base_price, "
+    + _sql_round_det(
+        "cast(sum(cast(l_extendedprice AS decimal(18,4)) * "
+        "(cast(1 AS decimal(5,3)) - cast(l_discount AS decimal(5,3)))) "
+        "AS double)", 2)
+    + " AS sum_disc_price, "
+    + _sql_round_det(
+        "cast(sum(cast(l_discount AS decimal(5,3))) AS double) / count(*)",
+        6)
+    + " AS avg_disc, count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus"
+)
+
+
+def _q_tpch_q3(spark, sf):
+    cust = _t(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(5,3)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            round_det(
+                F.sum(price * (F.lit(1).cast("decimal(5,3)") - disc)).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+_SQL_TPCH_Q3 = (
+    "SELECT o_orderkey, o_orderdate, "
+    + _sql_round_det(
+        "cast(sum(cast(l_extendedprice AS decimal(18,4)) * "
+        "(cast(1 AS decimal(5,3)) - cast(l_discount AS decimal(5,3)))) "
+        "AS double)", 2)
+    + " AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "GROUP BY o_orderkey, o_orderdate "
+    "ORDER BY revenue DESC, o_orderkey LIMIT 10"
+)
+
+
+# ---------------------------------------------------------------------------
+# Extraction pipeline as a query (rows-only: input is generated, the
+# pages corpus isn't one of the oracle views)
+
+def _q_extract_pages(spark, sf):
+    import tempfile
+
+    from westa_ocr_spark.corpus import write_pages_parquet
+    from westa_ocr_spark.operators.extract import extract_pages
+
+    path = tempfile.gettempdir() + "/westa_q_pages_200"
+    write_pages_parquet(path, n=200, seed=42)
+    out = extract_pages(spark.read.parquet(path))
+    return out.select(
+        "url", "page_index", "status", "kind", "n_blocks",
+        F.length("text").alias("text_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES: dict[str, tuple[Callable, str | None]] = {
+    # §2.2 filters / projections
+    "filter_pending": (_q_filter_pending, _SQL_FILTER_PENDING),
+    "filter_errors": (_q_filter_errors, _SQL_FILTER_ERRORS),
+    "filter_nonempty": (_q_filter_nonempty, _SQL_FILTER_NONEMPTY),
+    "filter_min_columns": (_q_filter_min_columns, _SQL_FILTER_MIN_COLUMNS),
+    "project_rename": (_q_project_rename, _SQL_PROJECT_RENAME),
+    # §2.3 joins
+    "join_assembly": (_q_join_assembly, _SQL_JOIN_ASSEMBLY),
+    "join_broadcast": (_q_join_broadcast, _SQL_JOIN_BROADCAST),
+    "resume_anti_join": (_q_resume_anti_join, _SQL_RESUME_ANTI_JOIN),
+    "semi_join": (_q_semi_join, _SQL_SEMI_JOIN),
+    # §2.4 aggregations
+    "manifest_counters": (_q_manifest_counters, _SQL_MANIFEST_COUNTERS),
+    "count_totals": (_q_count_totals, _SQL_COUNT_TOTALS),
+    "status_rollup": (_q_status_rollup, _SQL_STATUS_ROLLUP),
+    # §2.5 windows
+    "page_numbering": (_q_page_numbering, _SQL_PAGE_NUMBERING),
+    "recent_topk": (_q_recent_topk, _SQL_RECENT_TOPK),
+    "ring_buffer_topk": (_q_ring_buffer_topk, _SQL_RING_BUFFER_TOPK),
+    "pagination_count": (_q_pagination_count, _SQL_PAGINATION_COUNT),
+    # §2.6 scalar functions
+    "regex_header_extract": (
+        _q_regex_header_extract, _SQL_REGEX_HEADER_EXTRACT),
+    "split_pages_explode": (
+        _q_split_pages_explode, _SQL_SPLIT_PAGES_EXPLODE),
+    "csv_detail_parse": (_q_csv_detail_parse, _SQL_CSV_DETAIL_PARSE),
+    "token_mask": (_q_token_mask, _SQL_TOKEN_MASK),
+    "ts_format": (_q_ts_format, _SQL_TS_FORMAT),
+    "deterministic_ids": (_q_deterministic_ids, _SQL_DETERMINISTIC_IDS),
+    "props_extract": (_q_props_extract, _SQL_PROPS_EXTRACT),
+    # §2.7 D5 structured parse
+    "parse_details": (_q_parse_details, _SQL_PARSE_DETAILS),
+    # text analysis
+    "lang_id": (_q_lang_id, _SQL_LANG_ID),
+    "quality_scores": (_q_quality_scores, _SQL_QUALITY_SCORES),
+    "token_counts": (_q_token_counts, _SQL_TOKEN_COUNTS),
+    "fingerprints": (_q_fingerprints, _SQL_FINGERPRINTS),
+    # dedup
+    "exact_dedup": (_q_exact_dedup, _SQL_EXACT_DEDUP),
+    "minhash_signatures": (_q_minhash_signatures, _SQL_MINHASH_SIGNATURES),
+    "minhash_lsh_buckets": (
+        _q_minhash_lsh_buckets, _SQL_MINHASH_LSH_BUCKETS),
+    "ngram_jaccard": (_q_ngram_jaccard, _SQL_NGRAM_JACCARD),
+    "simhash16": (_q_simhash16, _SQL_SIMHASH16),
+    "simhash64": (_q_simhash64, None),
+    # similarity
+    "embedding_topk": (_q_embedding_topk, _SQL_EMBEDDING_TOPK),
+    "embedding_knn": (_q_embedding_knn, _SQL_EMBEDDING_KNN),
+    "lsh_topk": (_q_lsh_topk, None),
+    # TPC-H analytics
+    "tpch_q1": (_q_tpch_q1, _SQL_TPCH_Q1),
+    "tpch_q3": (_q_tpch_q3, _SQL_TPCH_Q3),
+    # extraction pipeline (generated corpus, rows-only)
+    "extract_pages_job": (_q_extract_pages, None),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: sql for name, (_, sql) in QUERIES.items() if sql is not None
+    }
