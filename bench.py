@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+Headline set:
+* the extraction pipeline (the product) over a seeded synthetic pages
+  corpus sized to the sf tier (sf0.1 -> 50k docs, FIXTURES.md §1);
+* the heavy analytics/dedup/similarity queries from the registry over
+  the driver-provided sf tables.
+
+Corpus generation is Spark-parallel and cached per (n, seed) under
+/tmp, so repeat runs measure extraction, not generation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "join_broadcast",
+    "manifest_counters",
+    "ring_buffer_topk",
+    "lang_id",
+    "quality_scores",
+    "fingerprints",
+    "minhash_signatures",
+    "ngram_jaccard",
+    "simhash64",
+    "embedding_topk",
+    "embedding_knn",
+    "parse_details",
+]
+
+
+def corpus_rows_for(sf_dir: str) -> int:
+    if "0.001" in sf_dir:
+        return 500
+    if "0.01" in sf_dir:
+        return 5_000
+    return 50_000
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from westa_ocr_spark.corpus import write_pages_parquet_spark
+    from westa_ocr_spark.plans.pipeline import run_extraction_job
+    from westa_ocr_spark.registry import QUERIES
+    from westa_ocr_spark.session import get_spark
+
+    spark = get_spark(app_name="westa_bench", master=f"local[{cpus}]")
+
+    timings: dict[str, float] = {}
+
+    # --- extraction pipeline over the synthetic pages corpus ---------
+    n = corpus_rows_for(sf_dir)
+    pages_path = f"/tmp/westa_bench_pages_n{n}_s42"
+    if not (os.path.isdir(pages_path) and os.listdir(pages_path)):
+        write_pages_parquet_spark(spark, pages_path, n)
+    out_dir = f"/tmp/westa_bench_out_{int(time.time())}"
+    t0 = time.time()
+    res = run_extraction_job(
+        spark, pages_path, out_dir, resume=False, run_id="bench"
+    )
+    extract_sec = time.time() - t0
+    timings["extract_pipeline"] = round(extract_sec, 3)
+    docs_per_sec = round(res.docs_in / extract_sec, 2)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # --- registry headline queries over the sf tables ----------------
+    for name in HEADLINE:
+        fn, _ = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n_rows = df.count()  # force full execution
+        timings[name] = round(time.time() - t0, 3)
+        assert n_rows >= 0
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "docs_per_sec": docs_per_sec,
+                "extract_docs": res.docs_in,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,13 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--run-id", default="cli")
+    ap.add_argument(
+        "--warmup",
+        action="store_true",
+        help="run a tiny extraction before timing (steady-state "
+        "throughput: excludes one-time JVM codegen + Python worker "
+        "spawn, which amortize to zero on a long job)",
+    )
     args = ap.parse_args()
 
     from westa_ocr_spark.corpus import write_pages_parquet
@@ -41,6 +48,19 @@ def main() -> None:
             write_pages_parquet(pages, n=args.n)
 
     spark = get_spark(app_name="westa_ocr_pipeline", master=args.master)
+    if args.warmup:
+        from pyspark.sql import functions as F
+
+        from westa_ocr_spark.operators.extract import extract_pages
+
+        par = spark.sparkContext.defaultParallelism
+        warm = spark.read.parquet(pages).limit(par * 8).select(
+            "url", "html"
+        )
+        warm = warm.repartition(par, F.xxhash64("url"))
+        extract_pages(warm).write.mode("overwrite").parquet(
+            os.path.join(args.out, "_warmup")
+        )
     t0 = time.time()
     res = run_extraction_job(
         spark,
@@ -50,7 +70,7 @@ def main() -> None:
         run_id=args.run_id,
     )
     elapsed = time.time() - t0
-    processed = res.docs_in - res.resumed_skipped
+    processed = res.docs_processed
     print(
         json.dumps(
             {
@@ -62,6 +82,7 @@ def main() -> None:
                 "docs_error": res.docs_error,
                 "elapsed_sec": round(elapsed, 2),
                 "docs_per_sec": round(processed / elapsed, 2),
+                "stages": res.stages,
                 "out": res.out_dir,
             }
         )

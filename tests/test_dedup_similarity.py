@@ -1,0 +1,124 @@
+"""Semantics tests for dedup + similarity operators (beyond oracle
+parity: these check the *meaning* — duplicates found, neighbors
+correct)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base),  # exact duplicate of 0
+        (2, base + " with a tiny suffix change"),  # near-dup of 0
+        (3, "completely different content about spark shuffles and arrow"),
+        (4, "Completely DIFFERENT content about spark shuffles and arrow"),
+        # ^ exact dup of 3 after normalization (case)
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark, docs):
+    from westa_ocr_spark.operators.dedup import exact_duplicates
+
+    groups = {r["canonical_id"]: r["group_size"]
+              for r in exact_duplicates(docs).collect()}
+    assert groups == {0: 2, 3: 2}
+
+
+def test_minhash_identical_docs_share_signature(spark, docs):
+    from westa_ocr_spark.operators.dedup import minhash_signatures
+
+    sigs = {r["doc_id"]: (r["mh_0"], r["mh_1"], r["mh_2"], r["mh_3"])
+            for r in minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[3] == sigs[4]
+    assert sigs[0] != sigs[3]
+    assert 5 not in sigs  # empty doc has no shingles
+
+
+def test_minhash_lsh_buckets_catch_dups(spark, docs):
+    from westa_ocr_spark.operators.dedup import minhash_lsh_buckets
+
+    buckets = minhash_lsh_buckets(docs).collect()
+    canon = {r["canonical_id"] for r in buckets}
+    assert 0 in canon and 3 in canon
+
+
+def test_ngram_jaccard_ranks_near_dup_first(spark, docs):
+    from westa_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, top_n=5).collect()
+    assert pairs, "no candidate pairs found"
+    top = pairs[0]
+    assert (top["doc_a"], top["doc_b"]) == (0, 1)
+    assert top["jaccard"] == 1.0
+    near = [p for p in pairs if (p["doc_a"], p["doc_b"]) == (0, 2)]
+    assert near and 0 < near[0]["jaccard"] < 1.0
+
+
+def test_simhash_hamming_property(spark, docs):
+    from westa_ocr_spark.operators.dedup import simhash16_df, simhash64
+
+    s16 = {r["doc_id"]: r["simhash"] for r in simhash16_df(docs).collect()}
+    assert s16[0] == s16[1]
+    s64 = {r["doc_id"]: r["simhash64"] for r in simhash64(docs).collect()}
+    assert s64[0] == s64[1]
+
+    def ham(a, b, bits):
+        return bin(((a ^ b) + (1 << bits)) % (1 << bits)).count("1")
+
+    # near-dup much closer than unrelated
+    assert ham(s64[0], s64[2], 64) < ham(s64[0], s64[3], 64)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+        (4, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
+def test_cosine_topk_ordering(spark, vectors):
+    from westa_ocr_spark.operators.similarity import cosine_topk
+
+    top = cosine_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=5).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids[0] == 0 and ids[1] == 1  # self, then nearest
+    assert ids[-1] == 3  # opposite vector last
+    assert top[0]["cosine"] == 1.0
+    assert top[-1]["cosine"] == -1.0
+
+
+def test_lsh_topk_finds_exact_neighbors(spark, vectors):
+    from westa_ocr_spark.operators.similarity import cosine_topk, lsh_topk
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    exact = [r["vec_id"] for r in cosine_topk(vectors, q, k=2).collect()]
+    approx = [r["vec_id"] for r in
+              lsh_topk(vectors, q, k=2, n_planes=8).collect()]
+    # with hamming-1 probing on this tiny set, ANN must contain the
+    # true top-1
+    assert exact[0] in approx
+
+
+def test_lsh_signatures_deterministic(spark, vectors):
+    from westa_ocr_spark.operators.similarity import lsh_signatures
+
+    a = {r["vec_id"]: r["bucket"]
+         for r in lsh_signatures(vectors, dim=4, n_planes=8).collect()}
+    b = {r["vec_id"]: r["bucket"]
+         for r in lsh_signatures(vectors, dim=4, n_planes=8).collect()}
+    assert a == b
+    # opposite vectors land in complementary buckets (all planes flip)
+    assert a[0] ^ a[3] == (1 << 8) - 1

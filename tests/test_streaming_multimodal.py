@@ -1,0 +1,90 @@
+"""Streaming extraction + multimodal plumbing tests."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def test_streaming_extraction_matches_batch(spark, pages_parquet,
+                                            tmp_path_factory):
+    from westa_ocr_spark.operators.extract import extract_pages
+    from westa_ocr_spark.streaming.stream_pipeline import (
+        start_extraction_stream,
+    )
+
+    out = str(tmp_path_factory.mktemp("stream") / "out")
+    q = start_extraction_stream(spark, pages_parquet, out)
+    q.awaitTermination(300)
+
+    streamed = spark.read.parquet(f"{out}/extracted")
+    batch = extract_pages(spark.read.parquet(pages_parquet))
+    s = {(r["url"], r["page_index"]): r["text"] for r in streamed.collect()}
+    b = {(r["url"], r["page_index"]): r["text"] for r in batch.collect()}
+    assert s == b  # same operator, same bytes, both modes
+
+
+def test_streaming_checkpoint_no_reprocess(spark, pages_parquet,
+                                           tmp_path_factory):
+    from westa_ocr_spark.streaming.stream_pipeline import (
+        start_extraction_stream,
+    )
+
+    out = str(tmp_path_factory.mktemp("stream2") / "out")
+    q = start_extraction_stream(spark, pages_parquet, out)
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(f"{out}/extracted").count()
+    # restart against the same checkpoint: nothing new -> no new rows
+    q2 = start_extraction_stream(spark, pages_parquet, out)
+    q2.awaitTermination(300)
+    n2 = spark.read.parquet(f"{out}/extracted").count()
+    assert n1 == n2
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        ("u1", b"\xff\xd8\xff\xe0" + b"j" * 400),      # jpeg-ish
+        ("u2", b"\x89PNG\r\n\x1a\n" + b"p" * 300),     # png-ish
+        ("u3", b""),                                     # empty -> error
+        ("u4", b"RIFF....WAVE" + b"a" * 100),           # riff
+    ]
+    return spark.createDataFrame(rows, ["url", "data"])
+
+
+def test_media_kind_sniffing(spark, media_df):
+    from westa_ocr_spark.operators.multimodal import media_kind
+
+    kinds = {
+        r["url"]: r["kind"]
+        for r in media_df.select(
+            "url", media_kind(F.col("data")).alias("kind")
+        ).collect()
+    }
+    assert kinds == {"u1": "jpeg", "u2": "png", "u3": "unknown",
+                     "u4": "riff"}
+
+
+def test_image_features_deterministic_stub(spark, media_df):
+    from westa_ocr_spark.operators.multimodal import extract_image_features
+
+    out = {r["url"]: r.asDict() for r in
+           extract_image_features(media_df).collect()}
+    assert out["u1"]["status"] == "DONE"
+    assert out["u1"]["kind"] == "jpeg"
+    assert len(out["u1"]["feature"]) == 16
+    assert out["u3"]["status"] == "ERROR"
+    # determinism
+    out2 = {r["url"]: r.asDict() for r in
+            extract_image_features(media_df).collect()}
+    assert out == out2
+
+
+def test_frame_sampling_fanout(spark, media_df):
+    from westa_ocr_spark.operators.multimodal import sample_frames
+
+    rows = sample_frames(media_df).collect()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r["frame_index"])
+    for url, idxs in by_url.items():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1))  # 1-based
+    assert by_url["u3"] == [1]  # error row still emitted

@@ -1,0 +1,89 @@
+"""Unit tests for text-analysis column functions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    rows = [
+        (0, "the cat and the dog walked over the hill and back"),
+        (1, "der hund und der mann und der baum"),
+        (2, "le chat et le chien et le loup"),
+        (3, "xyzzy plugh"),
+        (4, ""),
+        (5, "  spaced   out\ttabs\nnewlines  "),
+        (6, "Hello, world! Really?! yes; no: maybe..."),
+    ]
+    return spark.createDataFrame(rows, ["id", "text"])
+
+
+def _one(df, col, rid):
+    return {r["id"]: r["v"] for r in df.select("id", col.alias("v"))
+            .collect()}[rid]
+
+
+def test_lang_id(spark, tdf):
+    from westa_ocr_spark.functions.textfns import lang_id
+
+    vals = {r["id"]: r["v"] for r in
+            tdf.select("id", lang_id(F.col("text")).alias("v")).collect()}
+    assert vals[0] == "en"
+    assert vals[1] == "de"
+    assert vals[2] == "fr"
+    assert vals[3] == "und"
+    assert vals[4] == "und"
+
+
+def test_token_count(spark, tdf):
+    from westa_ocr_spark.functions.textfns import token_count
+
+    vals = {r["id"]: r["v"] for r in
+            tdf.select("id", token_count(F.col("text")).alias("v"))
+            .collect()}
+    assert vals[0] == 11
+    assert vals[4] == 0
+    assert vals[5] == 4  # mixed whitespace collapses
+
+
+def test_bpe_ish_tokens(spark, tdf):
+    from westa_ocr_spark.functions.textfns import bpe_ish_token_count
+
+    v = _one(tdf, bpe_ish_token_count(F.col("text")), 6)
+    # Hello , world ! Really ? ! yes ; no : maybe . . .
+    assert v == 15
+
+
+def test_quality_score_bounds(spark, tdf):
+    from westa_ocr_spark.functions.textfns import quality_score
+
+    vals = [r["v"] for r in
+            tdf.select(quality_score(F.col("text")).alias("v")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_fingerprint_normalization(spark):
+    from westa_ocr_spark.functions.textfns import fingerprint
+
+    df = spark.createDataFrame(
+        [(0, "Hello,   World!"), (1, "hello world"), (2, "HELLO-world")],
+        ["id", "text"],
+    )
+    fps = [r["v"] for r in
+           df.select(fingerprint(F.col("text")).alias("v")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_rolling_fingerprints(spark):
+    from westa_ocr_spark.functions.textfns import rolling_fingerprints
+
+    df = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(12))), (1, "short text")],
+        ["id", "text"],
+    )
+    vals = {r["id"]: r["v"] for r in df.select(
+        "id", rolling_fingerprints(F.col("text"), 8).alias("v")
+    ).collect()}
+    assert len(vals[0]) == 5   # 12 - 8 + 1
+    assert len(vals[1]) == 1   # short doc -> one (short) window
+    assert len(set(vals[0])) == 5  # all distinct

@@ -187,3 +187,41 @@ def write_pages_parquet(path: str, n: int, seed: int = 42,
             _flush()
     _flush()
     return path
+
+
+def write_pages_parquet_spark(spark, path: str, n: int,
+                              seed: int = 42) -> str:
+    """Generate the pages table in parallel on the cluster.
+
+    ``spark.range(n)`` distributes row indices; each Arrow batch is
+    synthesized executor-side from the same content-derived generator,
+    so the result is row-for-row identical to
+    :func:`write_pages_parquet` (just distributed — the honest way to
+    materialize a large corpus).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_row(int(i), seed) for i in pdf["id"]]
+            out = pd.DataFrame(rows)
+            out["warc_ts"] = pd.to_datetime(out["warc_ts"], utc=True)
+            yield out
+
+    parallelism = spark.sparkContext.defaultParallelism
+    df = spark.range(n).repartition(parallelism).mapInPandas(
+        gen, schema=schema
+    )
+    df.write.mode("overwrite").parquet(path)
+    return path

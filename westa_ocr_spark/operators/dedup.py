@@ -55,15 +55,40 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def _shingles(text_col: str, k: int = 3) -> F.Column:
-    """k-word shingles of the normalized text (array<string>)."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
+def _shingles_from_words(words: F.Column, k: int = 3) -> F.Column:
+    """k-word shingles from a pre-materialized words array column.
+
+    ``words`` must be a plain column reference: referencing the
+    normalize+split expression directly inside the transform lambda
+    would re-evaluate it per array element (O(words²) regex work per
+    row — measured 10x slowdown).
+    """
     n = F.size(words)
     # greatest(..., 1): sequence(1, 0) would DESCEND in Spark; docs
     # shorter than k words yield one short shingle (filtered upstream
     # if empty).
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+
+
+def _with_shingles(docs: DataFrame, id_col: str, text_col: str,
+                   k: int = 3, distinct: bool = False) -> DataFrame:
+    """(doc_id, shingle) exploded pairs, words staged as a column.
+
+    Two projections on purpose: Catalyst's CollapseProject keeps the
+    expensive normalize+split from being inlined (and thus duplicated)
+    into every lambda element.
+    """
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_words"),
+    )
+    sh = _shingles_from_words(F.col("_words"), k)
+    if distinct:
+        sh = F.array_distinct(sh)
+    return staged.select(
+        "doc_id", F.explode(sh).alias("shingle")
+    ).filter(F.length("shingle") > 0)
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
@@ -76,10 +101,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     per document, not per shingle.
     """
     seeds = seeds or MINHASH_SEEDS
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_shingles(text_col)).alias("shingle"),
-    ).filter(F.length("shingle") > 0)
+    exploded = _with_shingles(docs, id_col, text_col)
     aggs = [
         F.min(F.md5(F.concat(F.lit(seed + ":"), F.col("shingle")))).alias(
             f"mh_{i}"
@@ -130,15 +152,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     Output: (doc_a, doc_b, shared, size_a, size_b, jaccard) with
     doc_a < doc_b, ordered by (jaccard desc, doc_a, doc_b).
     """
-    sh = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(_shingles(text_col, k))).alias(
-                "shingle"
-            ),
-        )
-        .filter(F.length("shingle") > 0)
-    )
+    sh = _with_shingles(docs, id_col, text_col, k, distinct=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -183,28 +197,35 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 # SimHash
 
 
-def simhash16(text_col: F.Column) -> F.Column:
-    """16-bit SimHash as a pure Column expression (SQL-oracle-able).
+def simhash16_df(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """16-bit SimHash per document (SQL-oracle-able), output (doc_id,
+    simhash).
 
     Per word: a 16-bit hash from the first two bytes of md5 (portable
     ascii arithmetic); per bit: +1/-1 vote weighted by word count;
-    simhash bit = majority. Returns an int in [0, 65535].
+    simhash bit = majority. The word-hash array is staged as its own
+    projection so the md5 work runs once, not 16x (once per bit
+    expression).
     """
     words = F.filter(
-        F.split(normalize_text(text_col), " "),
+        F.split(normalize_text(F.col(text_col)), " "),
         lambda w: F.length(w) > 0,
     )
-    hashes = F.transform(
-        words,
-        lambda w: (
-            F.ascii(F.substring(F.md5(w), 1, 1)) * 256
-            + F.ascii(F.substring(F.md5(w), 2, 1))
-        ),
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            words,
+            lambda w: (
+                F.ascii(F.substring(F.md5(w), 1, 1)) * 256
+                + F.ascii(F.substring(F.md5(w), 2, 1))
+            ),
+        ).alias("_hashes"),
     )
     out = F.lit(0)
     for bit in range(16):
         votes = F.aggregate(
-            hashes,
+            F.col("_hashes"),
             F.lit(0),
             lambda acc, h: acc
             + F.when(
@@ -212,7 +233,7 @@ def simhash16(text_col: F.Column) -> F.Column:
             ).otherwise(F.lit(-1)),
         )
         out = out + F.when(votes > 0, F.lit(2 ** bit)).otherwise(F.lit(0))
-    return out.cast("long")
+    return staged.select("doc_id", out.cast("long").alias("simhash"))
 
 
 _SIMHASH64_SCHEMA = T.StructType(

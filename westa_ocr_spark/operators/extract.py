@@ -126,6 +126,9 @@ def extract_rows(url: str, data: bytes) -> list[dict]:
         ]
 
 
+_COLS = [f.name for f in EXTRACTED_SCHEMA.fields]
+
+
 def _extract_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
@@ -133,9 +136,8 @@ def _extract_batches(
         out: list[dict] = []
         for url, data in zip(batch["url"], batch["html"]):
             out.extend(extract_rows(url, data))
-        yield pd.DataFrame(
-            out, columns=[f.name for f in EXTRACTED_SCHEMA.fields]
-        )
+        # dict-of-lists: pandas skips per-row dict inference this way
+        yield pd.DataFrame({c: [r[c] for r in out] for c in _COLS})
 
 
 def extract_pages(pages: DataFrame) -> DataFrame:

@@ -1,37 +1,45 @@
 """End-to-end extraction job (SURVEY.md §3.1 lifecycle, Spark-first).
 
-    read pages -> dropDuplicates(url)            # idempotency dedupe (J5)
-      -> anti-join committed output              # checkpointed resume (J4)
-      -> skew-aware repartition                  # page fan-out analogue (T2)
-      -> mapInPandas(extract)                    # split + extract (D1, D2)
-      -> stage write (single execution)          # one pass over the bytes
-      -> keyed upsert sink (url, page_index)     # idempotent write-back (S6)
-      -> groupBy(url) manifest                   # job summary (A1-A7)
-      -> per-partition lineage                   # gemini_logs analogue (S7)
+    read pages -> [resume anti-join] -> skew split (oversized leg)
+      -> mapInPandas(extract)        -> staged write (single pass)
+      -> key-dedupe check / promote / merge into keyed sink
+      -> per-partition lineage       -> groupBy(url) manifest
 
 Reference lifecycle: ``/root/reference/app/worker.py:170-505``.
 
-The expensive stage (decode+extract over raw bytes) executes exactly
-once: its output is staged to parquet, and the lineage aggregation, the
-keyed merge, and the manifest all derive from the staged data. The
-extraction partition id is captured in the same stage as the extract
-(no shuffle in between), so lineage rows reflect the real executor
-partitions.
+Shuffle budget — the hot path is **zero-shuffle**: scan -> extract ->
+write is a narrow pipeline over the input splits (only the ~1%
+oversized leg takes a tiny round-robin exchange, and the resume
+anti-join only exists on restart runs). The J5 idempotency dedupe
+happens at the *sink*, over the extracted keys (url, page_index):
+deduplicating after extraction trades a sliver of wasted CPU on
+duplicate inputs for never shuffling raw payload bytes — at 100 TB
+the payload shuffle is the single most expensive thing a plan can do,
+and extracted text is ~5-10x smaller than the html it came from.
+
+The extract stage executes once: its output is staged to parquet and
+the lineage, the key-dedupe check, the sink promote/merge, and the
+manifest all derive from the staged files. On a fresh sink with no
+duplicate keys the staging directory simply *is* the sink (written in
+place, no rewrite); re-runs and dup-bearing batches pay the
+parquet-fallback merge (Iceberg MERGE INTO makes that a metadata
+commit on a real deployment — see sources/tables.py).
 """
 
 from __future__ import annotations
 
 import shutil
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from westa_ocr_spark.operators.extract import extract_pages
-from westa_ocr_spark.operators.manifest import build_lineage, build_manifest
+from westa_ocr_spark.operators.manifest import build_manifest
 from westa_ocr_spark.operators.partitioning import (
     OVERSIZED_THRESHOLD,
-    skew_repartition,
+    skew_split,
 )
 from westa_ocr_spark.operators.resume import resume_filter
 from westa_ocr_spark.sources.tables import ParquetTable
@@ -39,8 +47,9 @@ from westa_ocr_spark.sources.tables import ParquetTable
 
 @dataclass
 class ExtractionResult:
-    docs_in: int
-    rows_written: int
+    docs_in: int            # committed docs (manifest rows, all-time)
+    docs_processed: int     # docs extracted by THIS run
+    rows_written: int       # committed page rows (all-time)
     docs_done: int
     docs_error: int
     out_dir: str
@@ -58,63 +67,140 @@ def run_extraction_job(
     run_id: str = "run",
     oversized_threshold: int = OVERSIZED_THRESHOLD,
 ) -> ExtractionResult:
-    """Run the full extraction lifecycle; returns counters for the caller.
+    """Run the full extraction lifecycle; returns counters.
 
     ``pages`` is a DataFrame or a parquet path of the input table
     (url, warc_ts, html, text, lang).
     """
+    stages: dict[str, float] = {}
+    _t0 = time.time()
+
+    def _mark(name: str) -> None:
+        nonlocal _t0
+        stages[name] = round(time.time() - _t0, 3)
+        _t0 = time.time()
+
     if isinstance(pages, str):
         pages = spark.read.parquet(pages)
-    if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
 
     extracted_tbl = ParquetTable(f"{out_dir}/extracted")
     manifest_tbl = ParquetTable(f"{out_dir}/manifest")
     lineage_tbl = ParquetTable(f"{out_dir}/lineage")
 
-    # prune to the two columns extraction needs before any shuffle: the
-    # parquet scan then reads only url+html (ReadSchema pruning).
-    work = pages.select("url", "html").dropDuplicates(["url"])
-    docs_in = work.count()
+    # prune to the two columns extraction needs; the parquet scan then
+    # reads only url+html (ReadSchema pruning).
+    work = pages.select("url", "html")
 
     resumed_skipped = 0
     if resume and extracted_tbl.exists():
         done = extracted_tbl.read(spark)
+        resumed_skipped = done.select("url").distinct().count()
         work = resume_filter(work, done, key="url")
-        resumed_skipped = docs_in - work.count()
+        _mark("resume_plan")
+    work = skew_split(work, oversized_threshold=oversized_threshold,
+                      big_partitions=num_partitions)
 
-    work = skew_repartition(
-        work, num_partitions, oversized_threshold=oversized_threshold
+    extracted = extract_pages(work)
+
+    # single execution: stage to parquet (in place on a fresh sink).
+    first_run = not extracted_tbl.exists()
+    staging_path = (
+        extracted_tbl.path if first_run
+        else f"{out_dir}/_staging_{run_id}"
     )
-    extracted = extract_pages(work).withColumn(
-        "_pid", F.spark_partition_id()
+    extracted.write.mode("overwrite").parquet(staging_path)
+    _mark("extract_and_stage")
+    staged = spark.read.parquet(staging_path)
+
+    # per-partition lineage from the staged part files (one file per
+    # extract partition) — the gemini_logs analogue
+    # (/root/reference/app/repository.py:84-97), metrics only.
+    lineage = (
+        staged.groupBy(
+            F.regexp_extract(F.input_file_name(), r"part-(\d+)", 1)
+            .cast("int")
+            .alias("partition_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("input_bytes").alias("input_bytes"),
+            F.sum(
+                F.when(F.col("status") == "ERROR", 1).otherwise(0)
+            ).alias("errors"),
+        )
+        .select(F.lit(run_id).alias("run_id"), "*")
     )
+    lineage_tbl.append(lineage)
+    _mark("lineage")
 
-    # single execution of the extract stage: stage to parquet, derive
-    # lineage + merge + manifest from the staged result.
-    staging = ParquetTable(f"{out_dir}/_staging_{run_id}")
-    staging.overwrite(extracted)
-    staged = staging.read(spark)
-
-    lineage_tbl.append(build_lineage(staged, run_id))
-
-    extracted_tbl.merge_upsert(
-        spark, staged.drop("_pid"), keys=["url", "page_index"]
+    # J5 dup detection must be GLOBAL (in the narrow plan, duplicate
+    # urls from different input splits sit in different partitions, so
+    # per-partition distinct counts can't see them): one keys-only
+    # aggregation — column-pruned to two small columns.
+    kstats = staged.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("url", "page_index").alias("keys"),
+        F.countDistinct("url").alias("docs"),
+    ).collect()[0]
+    run_rows, run_keys, run_docs = (
+        int(kstats["rows"]), int(kstats["keys"]), int(kstats["docs"])
     )
-    shutil.rmtree(staging.path, ignore_errors=True)
+    has_dup_keys = run_keys != run_rows
+    _mark("key_stats")
+    if first_run:
+        if has_dup_keys:
+            # rare: duplicate urls inside the very first batch —
+            # rewrite the sink deduplicated.
+            deduped = staged.dropDuplicates(["url", "page_index"])
+            tmp = ParquetTable(f"{out_dir}/_dedup_{run_id}")
+            tmp.overwrite(deduped)
+            shutil.rmtree(extracted_tbl.path, ignore_errors=True)
+            shutil.move(tmp.path, extracted_tbl.path)
+        manifest_tbl.overwrite(
+            build_manifest(extracted_tbl.read(spark))
+        )
+    else:
+        extracted_tbl.merge_upsert(spark, staged,
+                                   keys=["url", "page_index"])
+        # manifest is maintained INCREMENTALLY: summarize only this
+        # run's urls and upsert by url — re-summarizing the whole
+        # committed table every run would be an O(table) pass that
+        # dwarfs small incremental runs. Post-merge the sink rows for
+        # this run's urls are final, so their manifest rows are too.
+        committed = extracted_tbl.read(spark)
+        run_manifest = build_manifest(
+            committed.join(
+                staged.select("url").distinct(), "url", "left_semi"
+            )
+        )
+        manifest_tbl.merge_upsert(spark, run_manifest, keys=["url"])
+        shutil.rmtree(staging_path, ignore_errors=True)
+    _mark("sink_and_manifest")
 
-    committed = extracted_tbl.read(spark)
-    manifest = build_manifest(committed)
-    manifest_tbl.overwrite(manifest)
+    # one tiny job for all counters
+    stats = (
+        manifest_tbl.read(spark)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("total_blocks").alias("rows"),
+        )
+        .collect()
+    )
+    docs_done = sum(r["docs"] for r in stats if r["status"] == "DONE")
+    docs_error = sum(r["docs"] for r in stats if r["status"] == "ERROR")
+    _mark("counters")
 
-    man = manifest_tbl.read(spark)
-    docs_done = man.filter("status = 'DONE'").count()
-    docs_error = man.filter("status = 'ERROR'").count()
     return ExtractionResult(
-        docs_in=docs_in,
-        rows_written=committed.count(),
+        docs_in=sum(r["docs"] for r in stats),
+        docs_processed=run_docs,
+        rows_written=sum(r["rows"] for r in stats),
         docs_done=docs_done,
         docs_error=docs_error,
         out_dir=out_dir,
         resumed_skipped=resumed_skipped,
+        stages=stages,
     )
+
+
+__all__ = ["ExtractionResult", "run_extraction_job"]

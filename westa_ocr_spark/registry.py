@@ -865,9 +865,8 @@ _SQL_NGRAM_JACCARD = (
 
 
 def _q_simhash16(spark, sf):
-    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    return docs.select(
-        "doc_id", dedup.simhash16(F.col("text")).alias("simhash")
+    return dedup.simhash16_df(
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
     )
 
 

@@ -20,6 +20,7 @@ def get_spark(
     app_name: str = "westa_ocr_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    max_partition_bytes: int | None = None,
 ) -> SparkSession:
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -51,8 +52,19 @@ def get_spark(
             os.environ.get("SPARK_DRIVER_MEMORY", "12g"),
         )
         # binary html payloads are large; keep scan splits modest so one
-        # input split's worth of pages fits executor memory at 100 TB
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # input split's worth of pages fits executor memory at 100 TB.
+        # The narrow scan->extract->write plan parallelizes by input
+        # split, so when total_input/splits < cores (small local runs)
+        # shrink this so every core gets work.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            str(
+                max_partition_bytes
+                or int(os.environ.get(
+                    "SPARK_MAX_PARTITION_BYTES", 128 * 1024 * 1024
+                ))
+            ),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

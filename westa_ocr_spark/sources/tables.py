@@ -57,8 +57,12 @@ class ParquetTable:
         """Upsert df by keys: new rows win over existing rows.
 
         Mirrors the reference's ON CONFLICT DO UPDATE
-        (``/root/reference/app/repository.py:256-262``).
+        (``/root/reference/app/repository.py:256-262``). The incoming
+        batch is key-deduplicated first (J5 idempotency — duplicate
+        requests collapse to one row, ``/root/reference/app/main.py:
+        165-188``).
         """
+        df = df.dropDuplicates(keys)
         if not self.exists():
             df.write.mode("overwrite").parquet(self.path)
             return
