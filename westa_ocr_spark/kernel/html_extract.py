@@ -128,7 +128,10 @@ class _Extractor(HTMLParser):
         if self._cur is None:
             self._cur = _Block("body")
         self._cur.parts.append(data)
-        nw = sum(1 for c in data if not c.isspace())
+        # non-whitespace char count; str.split() uses the same Unicode
+        # whitespace set as str.isspace(), and runs at C speed (the
+        # per-char generator version was half the kernel's runtime)
+        nw = len("".join(data.split()))
         if nw:
             self._cur.total_chars += nw
             if self._anchor_depth:

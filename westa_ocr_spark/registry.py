@@ -1158,3 +1158,273 @@ def oracle_sql() -> dict[str, str]:
     return {
         name: sql for name, (_, sql) in QUERIES.items() if sql is not None
     }
+
+
+# ---------------------------------------------------------------------------
+# Coverage batch 2: remaining §2 scalar ops + extended analytics
+
+def _q_drive_id_normalize(spark, sf):
+    # S4: drive-id normalization — strip scheme prefix, validate
+    # ^[A-Za-z0-9_-]{10,}$ (reference regex:
+    # /root/reference/app/file_fetcher.py:22,71-81)
+    docs = _t(spark, sf, "documents")
+    raw = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("drive://"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("drive:"))
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.substring(F.md5("text"), 1, 4)
+        ).otherwise(F.md5("text")),  # short ids are invalid
+    )
+    norm = F.regexp_replace(raw, "^drive:(//)?", "")
+    return docs.select(
+        "doc_id",
+        F.when(
+            norm.rlike("^[A-Za-z0-9_-]{10,}$"), norm
+        ).alias("drive_id"),
+    )
+
+
+_SQL_DRIVE_ID_NORMALIZE = (
+    "SELECT doc_id, CASE WHEN regexp_matches(norm, '^[A-Za-z0-9_-]{10,}$')"
+    " THEN norm END AS drive_id FROM (SELECT doc_id, "
+    "regexp_replace(CASE WHEN doc_id % 3 = 0 THEN 'drive://' "
+    "WHEN doc_id % 3 = 1 THEN 'drive:' ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN substring(md5(text), 1, 4) "
+    "ELSE md5(text) END, '^drive:(//)?', '') AS norm FROM documents)"
+)
+
+
+def _q_prompt_assembly(spark, sf):
+    # X6 date templating + X7 masters concat (null-skipping) + X9
+    # preview + X13 CSV quoting + X16 error prefix + X17 key coalesce
+    docs = _t(spark, sf, "documents")
+    prompt = F.regexp_replace(
+        F.lit("extract on {current_date} please"),
+        r"\{current_date\}",
+        F.date_format(F.lit("2025-01-15").cast("timestamp"), "yyyyMMdd"),
+    )
+    ship_csv = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('"'),
+                 F.regexp_replace(F.col("source"), '"', '""'),
+                 F.lit('"')),
+    )  # null for odd ids -> concat_ws skips
+    full = F.concat_ws("\n\n", prompt, ship_csv, F.col("lang"))
+    return docs.select(
+        "doc_id",
+        F.translate(F.substring(full, 1, 200), "\n", " ").alias(
+            "prompt_preview"
+        ),
+        F.concat_ws(": ", F.lit("extract"), F.col("lang")).alias(
+            "error_label"
+        ),
+        F.coalesce(
+            F.when(F.col("doc_id") % 7 == 0, F.col("source")),
+            F.concat_ws(":", F.col("doc_id"), F.lit("1")),
+        ).alias("idempotency_key"),
+    )
+
+
+_SQL_PROMPT_ASSEMBLY = (
+    "SELECT doc_id, replace(substring(assembled, 1, 200), chr(10), ' ') "
+    "AS prompt_preview, 'extract: ' || lang AS error_label, "
+    "coalesce(CASE WHEN doc_id % 7 = 0 THEN source END, "
+    "doc_id || ':1') AS idempotency_key FROM (SELECT *, "
+    "concat_ws(chr(10) || chr(10), "
+    "replace('extract on {current_date} please', '{current_date}', "
+    "strftime(timestamp '2025-01-15 00:00:00', '%Y%m%d')), "
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "'\"' || replace(source, '\"', '\"\"') || '\"' END, lang) AS assembled "
+    "FROM documents)"
+)
+
+
+def _q_base64_roundtrip(spark, sf):
+    # X8: base64 encode/decode of payload bytes
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    # Spark's base64 MIME-chunks with \r\n every 76 chars; strip to
+    # the canonical unchunked form (DuckDB's output)
+    enc = F.regexp_replace(
+        F.base64(F.col("text").cast("binary")), "[\\r\\n]", ""
+    )
+    return docs.select(
+        "doc_id",
+        enc.alias("b64"),
+        F.unbase64(enc).cast("string").alias("roundtrip"),
+    )
+
+
+_SQL_BASE64_ROUNDTRIP = (
+    "SELECT doc_id, to_base64(encode(text)) AS b64, "
+    "decode(from_base64(to_base64(encode(text)))) AS roundtrip "
+    "FROM documents WHERE doc_id < 200"
+)
+
+
+def _q_rollup_counts(spark, sf):
+    # rollup over (lang, source-bucket): subtotal + grand-total rows
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.rollup("lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_chars").alias("chars"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"), "n", "chars"
+        )
+    )
+
+
+_SQL_ROLLUP_COUNTS = (
+    "SELECT coalesce(lang, 'ALL') AS lang, count(*) AS n, "
+    "sum(n_chars) AS chars FROM documents GROUP BY ROLLUP(lang)"
+)
+
+
+def _q_pivot_event_types(spark, sf):
+    # pivot: one column per event type, count per user bucket
+    ev = _t(spark, sf, "events").withColumn(
+        "bucket", (F.col("user_id") % 10).alias("bucket")
+    )
+    return (
+        ev.groupBy("bucket")
+        .pivot("event_type",
+               ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+_SQL_PIVOT_EVENT_TYPES = (
+    "SELECT user_id % 10 AS bucket, "
+    + ", ".join(
+        f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+        for t in ["click", "error", "purchase", "signup", "view"]
+    )
+    + " FROM events GROUP BY 1"
+)
+
+
+def _q_set_ops(spark, sf):
+    # union / except / intersect over projections
+    docs = _t(spark, sf, "documents")
+    langs = docs.select(F.col("lang").alias("v")).distinct()
+    sources = docs.select(F.col("source").alias("v")).distinct()
+    short = docs.filter(F.col("n_chars") < 200).select(
+        F.col("lang").alias("v")
+    ).distinct()
+    return (
+        langs.union(sources).distinct()
+        .exceptAll(langs.intersect(short))
+        .distinct()
+    )
+
+
+_SQL_SET_OPS = (
+    "SELECT DISTINCT v FROM ("
+    "SELECT lang AS v FROM documents UNION "
+    "SELECT source AS v FROM documents) "
+    "EXCEPT (SELECT DISTINCT lang AS v FROM documents "
+    "INTERSECT SELECT DISTINCT lang AS v FROM documents "
+    "WHERE n_chars < 200)"
+)
+
+
+def _q_deterministic_sample(spark, sf):
+    # content-derived deterministic sampling (portable across engines,
+    # unlike rand()/TABLESAMPLE): keep docs whose md5(doc_id) starts
+    # with hex 0-3 (~25%)
+    docs = _t(spark, sf, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return docs.filter(h.isin("0", "1", "2", "3")).select(
+        "doc_id", "lang"
+    )
+
+
+_SQL_DETERMINISTIC_SAMPLE = (
+    "SELECT doc_id, lang FROM documents WHERE "
+    "substring(md5(cast(doc_id AS varchar)), 1, 1) IN ('0','1','2','3')"
+)
+
+
+def _q_sessionize(spark, sf):
+    # classic event sessionization: 30-min inactivity gap -> new
+    # session; session ids are content-derived (user, session_no)
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ: cast via timestamp (session tz = UTC) to
+    # epoch seconds — matches DuckDB's epoch(ts)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("new_session").over(w2).alias("session_no"),
+    )
+
+
+_SQL_SESSIONIZE = (
+    "SELECT user_id, event_id, sum(new_session) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no "
+    "FROM (SELECT user_id, event_id, ts, CASE WHEN "
+    "epoch(ts) - lag(epoch(ts)) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
+    "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "IS NULL THEN 1 ELSE 0 END AS new_session FROM events)"
+)
+
+
+def _q_top_terms(spark, sf):
+    # global term frequencies, top 20 (total order via term tiebreak)
+    docs = _t(spark, sf, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(textfns.normalize_text(F.col("text")), " ")
+        ).alias("term")
+    ).filter(F.length("term") > 0)
+    return (
+        words.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(20)
+    )
+
+
+_SQL_TOP_TERMS = (
+    "SELECT term, count(*) AS n FROM (SELECT unnest(string_split("
+    + _SQL_NORM.format(c="text")
+    + ", ' ')) AS term FROM documents) WHERE length(term) > 0 "
+    "GROUP BY term ORDER BY n DESC, term LIMIT 20"
+)
+
+
+QUERIES.update(
+    {
+        "drive_id_normalize": (
+            _q_drive_id_normalize, _SQL_DRIVE_ID_NORMALIZE),
+        "prompt_assembly": (_q_prompt_assembly, _SQL_PROMPT_ASSEMBLY),
+        "base64_roundtrip": (_q_base64_roundtrip, _SQL_BASE64_ROUNDTRIP),
+        "rollup_counts": (_q_rollup_counts, _SQL_ROLLUP_COUNTS),
+        "pivot_event_types": (
+            _q_pivot_event_types, _SQL_PIVOT_EVENT_TYPES),
+        "set_ops": (_q_set_ops, _SQL_SET_OPS),
+        "deterministic_sample": (
+            _q_deterministic_sample, _SQL_DETERMINISTIC_SAMPLE),
+        "sessionize": (_q_sessionize, _SQL_SESSIONIZE),
+        "top_terms": (_q_top_terms, _SQL_TOP_TERMS),
+    }
+)
