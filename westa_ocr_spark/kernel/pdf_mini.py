@@ -124,6 +124,20 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
 
 
+def split_pdf(data: bytes) -> list[bytes]:
+    """Split a PDF into standalone one-page PDFs, in page order.
+
+    1:1 with the reference's ``split_pdf``
+    (``/root/reference/app/pdf_utils.py:23-36``): each page is
+    re-serialized as an independent single-page document; the caller
+    pairs each with a 1-based index and ``application/pdf`` mime.
+    Implemented by re-serializing each page's extracted text through
+    the same writer, so the per-page byte streams are deterministic
+    and parse back to identical text.
+    """
+    return [write_pdf([page]) for page in extract_pdf_pages(data)]
+
+
 def extract_pdf_pages(data: bytes) -> list[str]:
     """Split PDF bytes into per-page extracted text, in page order.
 
