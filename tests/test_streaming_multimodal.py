@@ -88,3 +88,46 @@ def test_frame_sampling_fanout(spark, media_df):
     for url, idxs in by_url.items():
         assert sorted(idxs) == list(range(1, len(idxs) + 1))  # 1-based
     assert by_url["u3"] == [1]  # error row still emitted
+
+
+def test_windowed_counts_stream(spark, tmp_path_factory):
+    """Watermarked tumbling-window counts match the batch equivalent
+    for windows the watermark has finalized."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from westa_ocr_spark.streaming.stream_pipeline import (
+        start_windowed_counts_stream,
+    )
+
+    import shutil
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    src_dir = tmp_path_factory.mktemp("winsrc")
+    shutil.copy(src, src_dir / "events.parquet")  # file source needs a dir
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path_factory.mktemp("winstream") / "o")
+    q = start_windowed_counts_stream(spark, str(src_dir), out, schema)
+    q.awaitTermination(300)
+
+    streamed = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(f"{out}/windowed").collect()
+    }
+    batch = {
+        (r["win"]["start"], r["event_type"]): r["n"]
+        for r in (
+            spark.read.parquet(src)
+            .groupBy(
+                F.window("ts", "10 minutes").alias("win"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    assert streamed, "no finalized windows emitted"
+    # every emitted (finalized) window matches batch exactly
+    for key, n in streamed.items():
+        assert batch[key] == n
+    # only still-open tail windows may be missing
+    assert len(batch) - len(streamed) <= 5 * 4  # types x few tail wins

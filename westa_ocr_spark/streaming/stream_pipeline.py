@@ -42,6 +42,62 @@ def read_pages_stream(spark: SparkSession, input_dir: str,
     )
 
 
+def start_windowed_counts_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    schema: T.StructType,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_minutes: int = 10,
+    watermark_minutes: int = 30,
+):
+    """Watermarked event-time tumbling-window counts over a file stream.
+
+    The late-data contract: rows older than ``watermark_minutes``
+    behind the max observed event time are dropped; windows are
+    emitted once finalized (append mode), so the sink holds exactly
+    one row per (window, key). With ``availableNow`` the drained
+    result equals the batch ``groupBy(window(...), key)`` over the
+    same files minus still-open windows.
+    """
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    # watermarks require TIMESTAMP (not NTZ); session tz is UTC so the
+    # cast is a pure reinterpretation
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    counts = (
+        stream.withWatermark(ts_col, f"{watermark_minutes} minutes")
+        .groupBy(
+            F.window(F.col(ts_col), f"{window_minutes} minutes").alias(
+                "win"
+            ),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )
+    return (
+        counts.writeStream.format("parquet")
+        .option("path", f"{out_dir}/windowed")
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_extraction_stream(
     spark: SparkSession,
     input_dir: str,
