@@ -122,3 +122,35 @@ def test_lsh_signatures_deterministic(spark, vectors):
     assert a == b
     # opposite vectors land in complementary buckets (all planes flip)
     assert a[0] ^ a[3] == (1 << 8) - 1
+
+
+def test_ivf_topk_finds_true_neighbors(spark):
+    """IVF ANN over the driver-provided embeddings: recall@10 vs the
+    exact scan with 4/16 clusters probed."""
+    from westa_ocr_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qrow = emb.filter("vec_id = 0").collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4).collect()]
+    assert exact[0] in approx              # true top-1 found
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"recall@10 too low: {recall}"
+
+
+def test_ivf_assignment_deterministic(spark):
+    from westa_ocr_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, n_centroids=8)
+    a = {r["vec_id"]: r["cluster"]
+         for r in ivf_assign(emb, cents).collect()}
+    b = {r["vec_id"]: r["cluster"]
+         for r in ivf_assign(emb, cents).collect()}
+    assert a == b
+    assert len(set(a.values())) > 1  # clusters actually split the data

@@ -1,0 +1,59 @@
+"""Property-based kernel tests (hypothesis): the contracts hold for
+arbitrary inputs, not just the seeded corpus."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from westa_ocr_spark.kernel.html_extract import extract_html
+from westa_ocr_spark.kernel.pdf_mini import extract_pdf_pages, write_pdf
+
+# text without the PDF-hostile control chars we never emit
+pdf_text = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",), blacklist_characters="\r"
+    ),
+    max_size=300,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(pdf_text, min_size=1, max_size=5))
+def test_pdf_roundtrip_arbitrary_text(pages):
+    assert extract_pdf_pages(write_pdf(pages)) == pages
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2000))
+def test_html_extract_total_on_arbitrary_bytes(data):
+    """extract_html either returns (text, spans) or raises the two
+    documented error types — never crashes another way, never
+    desyncs spans."""
+    try:
+        text, spans = extract_html(data)
+    except UnicodeDecodeError:
+        return
+    raw = text.encode("utf-8")
+    for s in spans:
+        seg = raw[s["start"] : s["end"]]
+        seg.decode("utf-8")  # offsets always hit char boundaries
+    assert len(spans) == 0 or spans[-1]["end"] == len(raw)
+    assert [s["block_id"] for s in spans] == list(
+        range(1, len(spans) + 1)
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=2000))
+def test_html_extract_deterministic(txt):
+    data = txt.encode("utf-8")
+    assert extract_html(data) == extract_html(data)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="ab <>/ph1div", max_size=300))
+def test_html_spans_reconstruct_text(soup):
+    """joining span segments with newlines reproduces the text."""
+    text, spans = extract_html(soup.encode("utf-8"))
+    raw = text.encode("utf-8")
+    parts = [raw[s["start"]: s["end"]].decode("utf-8") for s in spans]
+    assert "\n".join(parts) == text

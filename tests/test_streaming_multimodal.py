@@ -131,3 +131,34 @@ def test_windowed_counts_stream(spark, tmp_path_factory):
         assert batch[key] == n
     # only still-open tail windows may be missing
     assert len(batch) - len(streamed) <= 5 * 4  # types x few tail wins
+
+
+def test_stateful_first_seen_dedupe(spark, tmp_path_factory):
+    """applyInPandasWithState first-seen dedupe: duplicate urls across
+    different micro-batch FILES collapse to one output row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from westa_ocr_spark.streaming.stateful import start_first_seen_stream
+
+    src = tmp_path_factory.mktemp("statesrc")
+    # 3 files, urls overlap across files -> multiple micro-batches see
+    # the same key (maxFilesPerTrigger=4 may batch them; state still
+    # collapses within-query duplicates)
+    for part, urls in enumerate(
+        [["a", "b", "c"], ["b", "c", "d"], ["a", "d", "e"]]
+    ):
+        pq.write_table(
+            pa.table({"url": urls}),
+            str(src / f"p{part}.parquet"),
+        )
+    schema = spark.read.parquet(str(src)).schema
+    out = str(tmp_path_factory.mktemp("stateout") / "o")
+    q = start_first_seen_stream(spark, str(src), out, schema)
+    q.awaitTermination(300)
+
+    rows = spark.read.parquet(f"{out}/first_seen").collect()
+    urls = sorted(r["url"] for r in rows)
+    assert urls == ["a", "b", "c", "d", "e"]  # each key exactly once
+    dropped = {r["url"]: r["duplicates_dropped"] for r in rows}
+    assert sum(dropped.values()) == 4  # 9 inputs - 5 uniques

@@ -103,6 +103,101 @@ def lsh_signatures(embeddings: DataFrame, dim: int, n_planes: int = 16,
     )
 
 
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                  sample: int = 512, iters: int = 5, seed: int = 7,
+                  id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Train IVF coarse centroids on a deterministic sample.
+
+    The sample is the lowest ``sample`` ids (content-derived, no
+    randomness in row selection); Lloyd's iterations run in numpy on
+    the driver — at 10^12 scale this stays cheap because the sample
+    size, not the table size, bounds the work. Returns a
+    (n_centroids, dim) float64 array of L2-normalized centroids.
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    mat = np.array([r[vec_col] for r in rows], dtype="float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), n_centroids, replace=False)]
+    for _ in range(iters):
+        sims = mat @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                centroid = members.mean(axis=0)
+                centroids[c] = centroid / (
+                    np.linalg.norm(centroid) + 1e-12
+                )
+    return centroids
+
+
+_IVF_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("cluster", T.IntegerType(), False),
+    ]
+)
+
+
+def ivf_assign(embeddings: DataFrame, centroids,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest coarse centroid (vectorized
+    numpy matmul per Arrow batch; centroids travel in the closure)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cents = np.asarray(centroids, dtype="float64")
+        for pdf in it:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+            assign = (mat @ cents.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(),
+                 "cluster": assign.astype("int32")}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        batches, schema=_IVF_SCHEMA
+    )
+
+
+def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4,
+             centroids=None, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k via IVF: probe the n_probe nearest clusters to the
+    query, exact-score only their members. At scale the assignment
+    table is computed once and persisted; queries touch
+    ~n_probe/n_centroids of the data."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_centroids,
+                                  id_col=id_col, vec_col=vec_col)
+    q = np.asarray(query_vec, dtype="float64")
+    q /= np.linalg.norm(q) + 1e-12
+    order = np.argsort(-(np.asarray(centroids) @ q))
+    probe = [int(c) for c in order[:n_probe]]
+
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    candidates = embeddings.join(
+        assigned.filter(F.col("cluster").isin(probe)),
+        on=id_col,
+        how="inner",
+    )
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
 def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
              n_planes: int = 16, seed: int = 7, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:

@@ -1428,3 +1428,15 @@ QUERIES.update(
         "top_terms": (_q_top_terms, _SQL_TOP_TERMS),
     }
 )
+
+
+def _q_ivf_topk(spark, sf):
+    # IVF ANN (coarse-quantizer probe) — numpy-in-Arrow path, no SQL
+    # twin (rows-only check)
+    return similarity.ivf_topk(
+        _t(spark, sf, "embeddings"), _query_vec(spark, sf), k=10,
+        n_centroids=16, n_probe=4,
+    )
+
+
+QUERIES["ivf_topk"] = (_q_ivf_topk, None)
