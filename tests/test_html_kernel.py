@@ -26,7 +26,9 @@ def test_strips_boilerplate_keeps_content():
 
 
 def test_span_offsets_are_utf8_byte_offsets():
-    html = "<body><p>café</p><p>あい</p></body>".encode()
+    # both paragraphs inside one container so candidate selection
+    # keeps them together — this test pins byte offsets, not selection
+    html = "<body><article><p>café</p><p>あい</p></article></body>".encode()
     text, spans = extract_html(html)
     assert text == "café\nあい"
     raw = text.encode("utf-8")
@@ -96,3 +98,30 @@ def test_empty_and_comment_only():
 def test_deterministic():
     html = b"<p>stable bytes every run</p>"
     assert extract_html(html) == extract_html(html)
+
+
+def test_candidate_selection_drops_sidebar():
+    # article has ~80% of kept text -> sidebar container dropped even
+    # though its link density alone wouldn't kill it
+    html = (
+        b"<body>"
+        b"<article><p>The main story paragraph with plenty of real"
+        b" content in it.</p><p>A second long paragraph of the main"
+        b" story continues here.</p></article>"
+        b"<div><p>short sidebar note</p></div>"
+        b"</body>"
+    )
+    text, spans = extract_html(html)
+    assert "sidebar" not in text
+    assert text.startswith("The main story")
+    assert all(s["tag"] == "p" for s in spans)
+
+
+def test_candidate_selection_keeps_balanced_page():
+    # two containers with similar mass: no dominant candidate -> all kept
+    html = (
+        b"<body><div><p>first column with the same amount</p></div>"
+        b"<div><p>second column with the same amount</p></div></body>"
+    )
+    text, _ = extract_html(html)
+    assert "first column" in text and "second column" in text

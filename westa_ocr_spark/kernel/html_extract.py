@@ -20,6 +20,11 @@ Contract (frozen — fixtures are byte-identical against this):
 * a block is kept iff it has visible text after whitespace
   normalization AND its link density (non-whitespace chars inside
   ``<a>`` / all non-whitespace chars) is < 0.5.
+* readability-style candidate selection: blocks are grouped into
+  top-level containers (elements opened directly under the document
+  root / a bare ``<body>``); if one container holds >= 60% of the
+  surviving text mass it is selected as the main content and all
+  other containers are dropped.
 * normalization: HTML entities decoded (``html.parser``
   convert_charrefs), every run of Unicode whitespace collapsed to one
   ASCII space, leading/trailing whitespace stripped.
@@ -54,15 +59,21 @@ _VOID_SPACE = frozenset({"br", "hr", "img"})
 
 MAX_LINK_DENSITY = 0.5
 
+# candidate selection: a container must hold this share of all kept
+# text to be declared THE main content
+CANDIDATE_SHARE = 0.6
+
 
 class _Block:
-    __slots__ = ("tag", "parts", "anchor_chars", "total_chars")
+    __slots__ = ("tag", "parts", "anchor_chars", "total_chars",
+                 "container")
 
-    def __init__(self, tag: str) -> None:
+    def __init__(self, tag: str, container: int) -> None:
         self.tag = tag
         self.parts: list[str] = []
         self.anchor_chars = 0
         self.total_chars = 0
+        self.container = container
 
 
 class _Extractor(HTMLParser):
@@ -73,6 +84,11 @@ class _Extractor(HTMLParser):
         self._drop_depth = 0
         self._anchor_depth = 0
         self._block_stack: list[str] = []
+        # candidate-selection containers: a new container starts at
+        # each block element opened directly under the document root
+        # (an empty stack or a bare <body>)
+        self._container_seq = 0
+        self._stray_seq = 0
 
     # -- block bookkeeping -------------------------------------------------
     def _flush(self) -> None:
@@ -92,8 +108,10 @@ class _Extractor(HTMLParser):
             self._anchor_depth += 1
         if tag in BLOCK_TAGS:
             self._flush()
+            if not self._block_stack or self._block_stack == ["body"]:
+                self._container_seq += 1
             self._block_stack.append(tag)
-            self._cur = _Block(tag)
+            self._cur = _Block(tag, self._container_seq)
         elif tag in _VOID_SPACE and self._cur is not None:
             self._cur.parts.append(" ")
 
@@ -120,13 +138,17 @@ class _Extractor(HTMLParser):
             # text following a closed child block resumes in a fresh block
             # attributed to the nearest still-open block ancestor.
             if self._block_stack:
-                self._cur = _Block(self._block_stack[-1])
+                self._cur = _Block(self._block_stack[-1],
+                                   self._container_seq)
 
     def handle_data(self, data):  # noqa: ANN001
         if self._drop_depth or not data:
             return
         if self._cur is None:
-            self._cur = _Block("body")
+            # stray text outside any block element: isolated container
+            # (negative ids so it never merges with real containers)
+            self._stray_seq -= 1
+            self._cur = _Block("body", self._stray_seq)
         self._cur.parts.append(data)
         # non-whitespace char count; str.split() uses the same Unicode
         # whitespace set as str.isspace(), and runs at C speed (the
@@ -154,7 +176,7 @@ def extract_html(html_bytes: bytes) -> tuple[str, list[dict]]:
     parser.feed(text)
     parser.finish()
 
-    kept: list[tuple[str, str]] = []
+    kept: list[tuple[str, str, int, int]] = []
     for block in parser.blocks:
         norm = " ".join("".join(block.parts).split())
         if not norm:
@@ -164,12 +186,27 @@ def extract_html(html_bytes: bytes) -> tuple[str, list[dict]]:
         )
         if density >= MAX_LINK_DENSITY:
             continue
-        kept.append((block.tag, norm))
+        kept.append((block.tag, norm, block.container, block.total_chars))
+
+    # readability-style candidate selection: score each top-level
+    # container by its surviving text mass; when one container clearly
+    # dominates (>= CANDIDATE_SHARE of all kept text), it is the main
+    # content and everything outside it (sidebars, related-links
+    # blocks, stray inter-container text) is dropped. Ambiguous pages
+    # (no dominant container) keep all low-link-density blocks.
+    totals: dict[int, int] = {}
+    for _, _, container, chars in kept:
+        totals[container] = totals.get(container, 0) + chars
+    if len(totals) > 1:
+        grand = sum(totals.values())
+        best = max(totals, key=lambda c: (totals[c], -c))
+        if totals[best] >= CANDIDATE_SHARE * grand:
+            kept = [k for k in kept if k[2] == best]
 
     out_parts: list[str] = []
     spans: list[dict] = []
     offset = 0
-    for block_id, (tag, norm) in enumerate(kept, start=1):
+    for block_id, (tag, norm, _, _) in enumerate(kept, start=1):
         nbytes = len(norm.encode("utf-8"))
         out_parts.append(norm)
         spans.append(
