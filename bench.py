@@ -73,7 +73,8 @@ def main() -> None:
 
     # --- extraction pipeline over the synthetic pages corpus ---------
     n = corpus_rows_for(sf_dir)
-    pages_path = f"/tmp/westa_bench_pages_n{n}_s42"
+    from westa_ocr_spark.corpus import CORPUS_VERSION
+    pages_path = f"/tmp/westa_bench_pages_v{CORPUS_VERSION}_n{n}_s42"
     if not (os.path.isdir(pages_path) and os.listdir(pages_path)):
         write_pages_parquet_spark(spark, pages_path, n)
     out_dir = f"/tmp/westa_bench_out_{int(time.time())}"

@@ -24,7 +24,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def ensure_corpus(n_docs: int) -> str:
-    path = f"/tmp/westa_bench_pages_n{n_docs}_s42"
+    sys.path.insert(0, REPO)
+    from westa_ocr_spark.corpus import CORPUS_VERSION
+
+    path = f"/tmp/westa_bench_pages_v{CORPUS_VERSION}_n{n_docs}_s42"
     if os.path.isdir(path) and os.listdir(path):
         return path
     code = (

@@ -34,6 +34,10 @@ _LANGS = ["en", "ja", "de", "fr", "pt"]
 EPOCH = _dt.datetime(2025, 1, 1, tzinfo=_dt.timezone.utc)
 OVERSIZED_BYTES = 256 * 1024
 
+# bump when the document grammar changes: cache directories derived
+# from the corpus must not survive a grammar change
+CORPUS_VERSION = 2
+
 
 def _h(i: int, salt: str, seed: int = 42) -> bytes:
     return hashlib.sha256(f"{seed}:{salt}:{i}".encode()).digest()
@@ -92,6 +96,13 @@ def make_html(i: int, seed: int = 42, oversized: bool = False) -> bytes:
         f"<p>{p}</p>" if j % 3 else f"<div><p>{p}</p></div>"
         for j, p in enumerate(paras)
     )
+    # a short low-link-density sidebar container: survives the
+    # link-density filter but is dropped by candidate selection
+    # whenever the article dominates (>=60% of kept text)
+    sidebar = (
+        f"<div><p>{_sentence(i, 777, 3, seed)}</p>"
+        f'<p><a href="/more">more</a> {_WORDS[_hint(i, "sb", len(_WORDS), seed)]}</p></div>'
+    )
     html = (
         "<!DOCTYPE html><html><head><title>t</title>"
         "<style>p{color:red}</style>"
@@ -104,6 +115,7 @@ def make_html(i: int, seed: int = 42, oversized: bool = False) -> bytes:
         f"<p>intro {entity_word} \t\n  spaced</p>"
         f"{body_paras}"
         "</article>"
+        f"{sidebar}"
         "<!-- a comment that must vanish -->"
         f'<footer><a href="/tos">terms</a> <a href="/priv">privacy</a>'
         "</footer></body></html>"

@@ -1080,7 +1080,9 @@ def _q_extract_pages(spark, sf):
     from westa_ocr_spark.corpus import write_pages_parquet
     from westa_ocr_spark.operators.extract import extract_pages
 
-    path = tempfile.gettempdir() + "/westa_q_pages_200"
+    from westa_ocr_spark.corpus import CORPUS_VERSION
+
+    path = tempfile.gettempdir() + f"/westa_q_pages_v{CORPUS_VERSION}_200"
     write_pages_parquet(path, n=200, seed=42)
     out = extract_pages(spark.read.parquet(path))
     return out.select(
