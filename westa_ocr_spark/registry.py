@@ -1442,3 +1442,97 @@ def _q_ivf_topk(spark, sf):
 
 
 QUERIES["ivf_topk"] = (_q_ivf_topk, None)
+
+
+def _q_tpch_q5(spark, sf):
+    # q5-style 6-way join: revenue per nation for one region — the
+    # join-reordering / broadcast-dimension showcase (Catalyst picks
+    # BHJ for region/nation/supplier, SMJ for the fact tables)
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(5,3)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            round_det(
+                F.sum(price * (F.lit(1).cast("decimal(5,3)") - disc)).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_SQL_TPCH_Q5 = (
+    "SELECT n_name, "
+    + _sql_round_det(
+        "cast(sum(cast(l_extendedprice AS decimal(18,4)) * "
+        "(cast(1 AS decimal(5,3)) - cast(l_discount AS decimal(5,3)))) "
+        "AS double)", 2)
+    + " AS revenue, count(*) AS n_items "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey "
+    "GROUP BY n_name"
+)
+
+
+def _q_tpch_q18(spark, sf):
+    # q18-style: large orders (HAVING over grouped fact) joined back
+    # to customers — aggregate-filter + rejoin pattern
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            round_det(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+_SQL_TPCH_Q18 = (
+    "SELECT c_name, o_orderkey, o_orderdate, "
+    + _sql_round_det("o_totalprice", 2)
+    + " AS o_totalprice, total_qty "
+    "FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty "
+    "FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey"
+)
+
+
+QUERIES.update(
+    {
+        "tpch_q5": (_q_tpch_q5, _SQL_TPCH_Q5),
+        "tpch_q18": (_q_tpch_q18, _SQL_TPCH_Q18),
+    }
+)
