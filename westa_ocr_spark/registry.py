@@ -203,7 +203,8 @@ def _q_filter_min_columns(spark, sf):
     return (
         _t(spark, sf, "documents")
         .select(
-            "doc_id", F.size(F.split("text", " ")).alias("n_cols")
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_cols"),
         )
         .filter(F.col("n_cols") >= 15)
     )
@@ -420,7 +421,7 @@ def _q_page_numbering(spark, sf):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.row_number().over(w).alias("page_index"),
+        F.row_number().over(w).cast("long").alias("page_index"),
     )
 
 
@@ -455,7 +456,8 @@ def _q_ring_buffer_topk(spark, sf):
     return (
         _t(spark, sf, "events")
         .select(
-            "user_id", "event_id", F.row_number().over(w).alias("rn")
+            "user_id", "event_id",
+            F.row_number().over(w).cast("long").alias("rn")
         )
         .filter(F.col("rn") <= 3)
     )
@@ -534,7 +536,7 @@ def _q_split_pages_explode(spark, sf):
         "doc_id", F.posexplode(blocks).alias("pos", "block")
     ).select(
         "doc_id",
-        (F.col("pos") + 1).alias("page_no"),
+        (F.col("pos") + 1).cast("long").alias("page_no"),
         F.trim("block").alias("block"),
     )
 
@@ -563,7 +565,7 @@ def _q_csv_detail_parse(spark, sf):
         .filter(F.size("cells") >= 15)
         .select(
             "doc_id",
-            F.size("cells").alias("n_fields"),
+            F.size("cells").cast("long").alias("n_fields"),
             F.element_at("cells", 1).alias("f1"),
             F.element_at("cells", 2).alias("f2"),
             F.element_at("cells", 15).alias("f15"),
@@ -952,7 +954,7 @@ def _q_embedding_knn(spark, sf):
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), "vec_id")
     return scored.select(
-        "*", F.row_number().over(w).alias("rn")
+        "*", F.row_number().over(w).cast("long").alias("rn")
     ).filter(F.col("rn") <= 3)
 
 
@@ -1279,7 +1281,8 @@ def _q_rollup_counts(spark, sf):
 
 _SQL_ROLLUP_COUNTS = (
     "SELECT coalesce(lang, 'ALL') AS lang, count(*) AS n, "
-    "sum(n_chars) AS chars FROM documents GROUP BY ROLLUP(lang)"
+    "cast(sum(n_chars) AS bigint) AS chars FROM documents "
+    "GROUP BY ROLLUP(lang)"
 )
 
 
@@ -1379,9 +1382,10 @@ def _q_sessionize(spark, sf):
 
 
 _SQL_SESSIONIZE = (
-    "SELECT user_id, event_id, sum(new_session) OVER ("
+    "SELECT user_id, event_id, cast(sum(new_session) OVER ("
     "PARTITION BY user_id ORDER BY ts, event_id "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) "
+    "AS session_no "
     "FROM (SELECT user_id, event_id, ts, CASE WHEN "
     "epoch(ts) - lag(epoch(ts)) OVER ("
     "PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
