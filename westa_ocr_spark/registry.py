@@ -1540,3 +1540,80 @@ QUERIES.update(
         "tpch_q18": (_q_tpch_q18, _SQL_TPCH_Q18),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Custom join operators (as-of, binned range) — DuckDB native ASOF as
+# the oracle
+
+def _q_asof_join(spark, sf):
+    from westa_ocr_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event")
+    )
+    out = asof_join(
+        purchases, signups, on="user_id", ts="ts",
+        right_cols=["signup_event"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "asof_ts", "signup_event"
+    )
+
+
+_SQL_ASOF_JOIN = (
+    "SELECT p.event_id, p.user_id, p.ts, s.ts AS asof_ts, "
+    "s.event_id AS signup_event "
+    "FROM (SELECT event_id, user_id, ts FROM events "
+    "WHERE event_type = 'purchase') p "
+    "ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events "
+    "WHERE event_type = 'signup') s "
+    "ON p.user_id = s.user_id AND p.ts >= s.ts"
+)
+
+
+def _q_range_join(spark, sf):
+    from westa_ocr_spark.operators.joins import binned_range_join
+
+    ev = _t(spark, sf, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id",
+        F.col("ts").alias("signup_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"),
+    )
+    joined = binned_range_join(
+        signups, purchases, on="user_id",
+        left_ts="signup_ts", right_ts="purchase_ts",
+        window_seconds=86400,
+    )
+    return joined.groupBy("signup_id", "user_id").agg(
+        F.count(F.lit(1)).alias("purchases_within_1d")
+    )
+
+
+_SQL_RANGE_JOIN = (
+    "SELECT s.event_id AS signup_id, s.user_id, "
+    "count(*) AS purchases_within_1d "
+    "FROM (SELECT event_id, user_id, ts FROM events "
+    "WHERE event_type = 'signup') s "
+    "JOIN (SELECT user_id, ts FROM events "
+    "WHERE event_type = 'purchase') p "
+    "ON s.user_id = p.user_id "
+    "AND epoch(p.ts) >= epoch(s.ts) "
+    "AND epoch(p.ts) < epoch(s.ts) + 86400 "
+    "GROUP BY 1, 2"
+)
+
+
+QUERIES.update(
+    {
+        "asof_join": (_q_asof_join, _SQL_ASOF_JOIN),
+        "range_join": (_q_range_join, _SQL_RANGE_JOIN),
+    }
+)
