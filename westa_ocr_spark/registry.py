@@ -1617,3 +1617,66 @@ QUERIES.update(
         "range_join": (_q_range_join, _SQL_RANGE_JOIN),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal + page-payload operators as rows-only queries (binary
+# inputs synthesized deterministically from the documents table)
+
+def _media_df(spark, sf):
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(bytes([0xFF, 0xD8, 0xFF, 0xE0])))
+        .when(F.col("doc_id") % 3 == 1, F.lit(b"\x89PNG\r\n\x1a\n"))
+        .otherwise(F.lit(b""))
+    )
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.concat(magic, F.encode("text", "utf-8")).alias("data"),
+    )
+
+
+def _q_media_features(spark, sf):
+    from westa_ocr_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    return extract_image_features(_media_df(spark, sf))
+
+
+def _q_frame_sampling(spark, sf):
+    from westa_ocr_spark.operators.multimodal import sample_frames
+
+    out = sample_frames(_media_df(spark, sf))
+    return out.select(
+        "url", "frame_index", "status",
+        F.octet_length("frame").alias("frame_bytes"),
+    )
+
+
+def _q_split_pdf_payloads(spark, sf):
+    import tempfile
+
+    from westa_ocr_spark.corpus import CORPUS_VERSION, write_pages_parquet
+    from westa_ocr_spark.operators.split_pdf import split_pdf_payloads
+
+    path = tempfile.gettempdir() + f"/westa_q_pages_v{CORPUS_VERSION}_200"
+    write_pages_parquet(path, n=200, seed=42)
+    pages = spark.read.parquet(path).filter(
+        F.hex(F.substring("html", 1, 5)) == "255044462D"
+    )
+    out = split_pdf_payloads(pages)
+    return out.select(
+        "url", "page_index", "mime_type", "status",
+        F.octet_length("data").alias("payload_bytes"),
+    )
+
+
+QUERIES.update(
+    {
+        "media_features": (_q_media_features, None),
+        "frame_sampling": (_q_frame_sampling, None),
+        "split_pdf_payloads": (_q_split_pdf_payloads, None),
+    }
+)
