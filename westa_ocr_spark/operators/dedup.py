@@ -274,3 +274,4 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(id_col, text_col).mapInPandas(
         batches, schema=_SIMHASH64_SCHEMA
     )
+

@@ -1680,3 +1680,54 @@ QUERIES.update(
         "split_pdf_payloads": (_q_split_pdf_payloads, None),
     }
 )
+
+
+def _q_value_quantiles(spark, sf):
+    # exact percentiles per event type: p50 interpolated + p90/p99
+    # discrete (order statistics — deterministic across engines)
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        round_det(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        round_det(
+            F.expr(
+                "sort_array(collect_list(value))"
+                "[cast(ceil(0.9 * count(value)) as int) - 1]"
+            ),
+            6,
+        ).alias("p90_disc"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_SQL_VALUE_QUANTILES = (
+    "SELECT event_type, "
+    + _sql_round_det("quantile_cont(value, 0.5)", 6)
+    + " AS p50, "
+    + _sql_round_det(
+        "(list_sort(list(value)))"
+        "[cast(ceil(0.9 * count(value)) AS int)]", 6)
+    + " AS p90_disc, max(value) AS max_value "
+    "FROM events GROUP BY event_type"
+)
+
+
+def _q_group_zscore(spark, sf):
+    # grouped applyInPandas (vectorized per-group normalization) —
+    # rows-only (the pandas path is the point; values verified by the
+    # operator's unit test)
+    from westa_ocr_spark.operators.grouped import (
+        normalize_quality_per_group,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("n_chars")
+    )
+    return normalize_quality_per_group(docs, "lang", "n_chars")
+
+
+QUERIES.update(
+    {
+        "value_quantiles": (_q_value_quantiles, _SQL_VALUE_QUANTILES),
+        "group_zscore": (_q_group_zscore, None),
+    }
+)
