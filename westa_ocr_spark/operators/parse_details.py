@@ -97,7 +97,7 @@ def parse_detail_rows(df: DataFrame, id_col: str, raw_col: str) -> DataFrame:
             F.size("cells").alias("n_fields"),
             *[
                 F.element_at("cells", i + 1).alias(f"f{i + 1}")
-                for i in range(5)
+                for i in range(MIN_DETAIL_COLUMNS)
             ],
         )
         .drop("line", "cells", "row_pos")

@@ -725,8 +725,7 @@ WITH src AS (
 )
 SELECT doc_id AS id, page_no, is_non_order, tokusaki, juchu_date,
        chumon_bango, row_no, cast(len(cells) AS int) AS n_fields,
-       cells[1] AS f1, cells[2] AS f2, cells[3] AS f3,
-       cells[4] AS f4, cells[5] AS f5
+       cells[1] AS f1, cells[2] AS f2, cells[3] AS f3, cells[4] AS f4, cells[5] AS f5, cells[6] AS f6, cells[7] AS f7, cells[8] AS f8, cells[9] AS f9, cells[10] AS f10, cells[11] AS f11, cells[12] AS f12, cells[13] AS f13, cells[14] AS f14, cells[15] AS f15
 FROM lines WHERE len(cells) >= 15
 """
 
