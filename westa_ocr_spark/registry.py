@@ -1730,3 +1730,32 @@ QUERIES.update(
         "group_zscore": (_q_group_zscore, None),
     }
 )
+
+
+def _q_running_range_window(spark, sf):
+    # range-frame window: events per user in the trailing hour
+    # (RANGE BETWEEN on event-time seconds)
+    ev = _t(spark, sf, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("events_last_hour"),
+    )
+
+
+_SQL_RUNNING_RANGE_WINDOW = (
+    "SELECT user_id, event_id, cast(count(*) OVER ("
+    "PARTITION BY user_id ORDER BY epoch(ts) "
+    "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS bigint) "
+    "AS events_last_hour FROM events"
+)
+
+
+QUERIES["running_range_window"] = (
+    _q_running_range_window, _SQL_RUNNING_RANGE_WINDOW)
