@@ -79,3 +79,21 @@ def test_column_pruned_scan(spark, pages_parquet):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "url" in read_schema and "html" in read_schema
     assert "warc_ts" not in read_schema and "lang" not in read_schema
+
+
+def test_payload_cap_errors_deterministically():
+    from westa_ocr_spark.operators import extract as ex
+
+    huge = b"<p>" + b"x" * 100 + b"</p>"
+    # shrink the cap for the test instead of building a 64MB payload
+    original = ex.MAX_PAYLOAD_BYTES
+    try:
+        ex.MAX_PAYLOAD_BYTES = 50
+        rows = ex.extract_rows("u", huge)
+        assert rows[0]["status"] == "ERROR"
+        assert "exceeds cap" in rows[0]["error"]
+        assert rows[0]["input_bytes"] == len(huge)
+    finally:
+        ex.MAX_PAYLOAD_BYTES = original
+    ok = ex.extract_rows("u", huge)
+    assert ok[0]["status"] == "DONE"

@@ -70,6 +70,13 @@ def _pdf_line_spans(page_text: str) -> list[dict]:
     return spans
 
 
+# Hard per-document payload cap: Arrow's maxRecordsPerBatch bounds
+# ROWS, not BYTES, so one pathological multi-GB page could OOM a
+# Python worker at crawl scale. Oversized payloads take the
+# deterministic per-row ERROR path instead.
+MAX_PAYLOAD_BYTES = 64 * 1024 * 1024
+
+
 def extract_rows(url: str, data: bytes) -> list[dict]:
     """Pure per-document extraction: 1 doc -> N page rows.
 
@@ -77,6 +84,23 @@ def extract_rows(url: str, data: bytes) -> list[dict]:
     byte-identity contract has a single definition.
     """
     input_bytes = len(data) if data is not None else 0
+    if input_bytes > MAX_PAYLOAD_BYTES:
+        return [
+            {
+                "url": url,
+                "page_index": 1,
+                "text": None,
+                "spans": None,
+                "status": "ERROR",
+                "error": (
+                    f"extract: payload {input_bytes} bytes exceeds cap "
+                    f"{MAX_PAYLOAD_BYTES}"
+                ),
+                "kind": "error",
+                "input_bytes": input_bytes,
+                "n_blocks": 0,
+            }
+        ]
     try:
         if data is not None and data.startswith(b"%PDF-"):
             pages = extract_pdf_pages(data)
