@@ -97,3 +97,30 @@ def test_payload_cap_errors_deterministically():
         ex.MAX_PAYLOAD_BYTES = original
     ok = ex.extract_rows("u", huge)
     assert ok[0]["status"] == "DONE"
+
+
+def test_null_payload_survives_skew_split_as_error_row(spark):
+    """ADVICE r1: octet_length(NULL) is NULL, so a null-html doc used
+    to fail BOTH skew_split legs and vanish. It must instead flow to
+    the small leg and surface as a per-row ERROR."""
+    from pyspark.sql import types as T
+
+    from westa_ocr_spark.operators.extract import extract_pages
+    from westa_ocr_spark.operators.partitioning import skew_split
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("html", T.BinaryType(), True),
+    ])
+    df = spark.createDataFrame(
+        [("https://x/ok", b"<html><body><p>hello world</p></body></html>"),
+         ("https://x/null", None)],
+        schema,
+    )
+    out = extract_pages(skew_split(df)).collect()
+    by_url = {r["url"]: r for r in out}
+    assert set(by_url) == {"https://x/ok", "https://x/null"}
+    nul = by_url["https://x/null"]
+    assert nul["status"] == "ERROR"
+    assert nul["error"] == "extract: null payload"
+    assert nul["input_bytes"] == 0

@@ -145,16 +145,22 @@ def test_stateful_first_seen_dedupe(spark, tmp_path_factory):
     # 3 files, urls overlap across files -> multiple micro-batches see
     # the same key (maxFilesPerTrigger=4 may batch them; state still
     # collapses within-query duplicates)
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    n = 0
     for part, urls in enumerate(
         [["a", "b", "c"], ["b", "c", "d"], ["a", "d", "e"]]
     ):
+        ts = [base + dt.timedelta(minutes=n + i) for i in range(len(urls))]
+        n += len(urls)
         pq.write_table(
-            pa.table({"url": urls}),
+            pa.table({"url": urls, "ts": ts}),
             str(src / f"p{part}.parquet"),
         )
     schema = spark.read.parquet(str(src)).schema
     out = str(tmp_path_factory.mktemp("stateout") / "o")
-    q = start_first_seen_stream(spark, str(src), out, schema)
+    q = start_first_seen_stream(spark, str(src), out, schema, ts_col="ts")
     q.awaitTermination(300)
 
     rows = spark.read.parquet(f"{out}/first_seen").collect()
@@ -162,3 +168,8 @@ def test_stateful_first_seen_dedupe(spark, tmp_path_factory):
     assert urls == ["a", "b", "c", "d", "e"]  # each key exactly once
     dropped = {r["url"]: r["duplicates_dropped"] for r in rows}
     assert sum(dropped.values()) == 4  # 9 inputs - 5 uniques
+    # first_seen_ts is deterministic event time (min per key), not
+    # wall clock: url "a" first appears at minute 0, "e" at minute 8
+    seen_ts = {r["url"]: r["first_seen_ts"] for r in rows}
+    assert seen_ts["a"] == base
+    assert seen_ts["e"] == base + dt.timedelta(minutes=8)

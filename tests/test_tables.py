@@ -48,3 +48,96 @@ def test_upsert_dedupes_incoming_batch(spark, tbl):
 def test_keyed_table_picks_parquet_without_iceberg(spark, tmp_path):
     t = keyed_table(spark, str(tmp_path / "x"))
     assert isinstance(t, ParquetTable)
+
+
+def test_recover_promotes_stranded_tmp(spark, tbl, tmp_path):
+    """Crash between the two swap renames: path absent, merged data in
+    __tmp, prior data in __old -> read() recovers the NEWER (__tmp)."""
+    import os
+    import time
+
+    df1 = spark.createDataFrame([(1, 1, "old")], ["k", "p", "v"])
+    tbl.merge_upsert(spark, df1, keys=["k", "p"])
+    # simulate the crash window: stage a completed merged dir as __tmp
+    # and move the live dir aside as __old
+    df2 = spark.createDataFrame([(1, 1, "new"), (2, 1, "b")],
+                                ["k", "p", "v"])
+    tmp = f"{tbl.path}__tmp_deadbeef"
+    df2.write.mode("overwrite").parquet(tmp)
+    time.sleep(0.05)
+    os.rename(tbl.path, f"{tbl.path}__old_cafebabe")
+    # make __tmp the newest candidate (mtime order decides)
+    os.utime(tmp)
+    assert tbl.exists()  # triggers recovery
+    assert _rows(spark, tbl) == {(1, 1): "new", (2, 1): "b"}
+    # leftovers swept
+    parent = os.path.dirname(tbl.path)
+    assert [n for n in os.listdir(parent) if "__old_" in n or "__tmp_" in n] == []
+
+
+def test_recover_restores_old_when_no_tmp(spark, tbl):
+    import os
+
+    df1 = spark.createDataFrame([(1, 1, "a")], ["k", "p", "v"])
+    tbl.merge_upsert(spark, df1, keys=["k", "p"])
+    os.rename(tbl.path, f"{tbl.path}__old_cafebabe")
+    assert tbl.exists()
+    assert _rows(spark, tbl) == {(1, 1): "a"}
+
+
+class _StubCatalog:
+    def __init__(self):
+        self.dropped = []
+
+    def dropTempView(self, name):
+        self.dropped.append(name)
+
+
+class _StubSession:
+    def __init__(self):
+        self.sqls = []
+        self.catalog = _StubCatalog()
+
+    def sql(self, text):
+        self.sqls.append(text)
+
+
+class _StubDF:
+    """Minimal DataFrame stand-in for the MERGE contract test."""
+
+    def __init__(self):
+        self.views = []
+        self.dedup_keys = None
+
+    def dropDuplicates(self, keys):
+        self.dedup_keys = keys
+        return self
+
+    def createOrReplaceTempView(self, name):
+        self.views.append(name)
+
+
+def test_iceberg_merge_contract():
+    """IcebergTable.merge_upsert emits the exact MERGE INTO statement
+    the reference's ON CONFLICT contract maps to
+    (/root/reference/app/repository.py:230-265), dedupes the source
+    batch, and drops its temp view."""
+    import re
+
+    from westa_ocr_spark.sources.tables import IcebergTable
+
+    t = IcebergTable("cat.db.ocr_pages")
+    sess, df = _StubSession(), _StubDF()
+    t.merge_upsert(sess, df, keys=["url", "page_index"])
+
+    assert df.dedup_keys == ["url", "page_index"]
+    assert len(df.views) == 1 and len(sess.sqls) == 1
+    view = df.views[0]
+    assert sess.catalog.dropped == [view]
+    expected = (
+        f"MERGE INTO cat.db.ocr_pages t USING {view} s "
+        "ON t.url = s.url AND t.page_index = s.page_index "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert re.sub(r"\s+", " ", sess.sqls[0]) == expected

@@ -83,7 +83,23 @@ def extract_rows(url: str, data: bytes) -> list[dict]:
     Shared by the Spark operator and the fixture generator so the
     byte-identity contract has a single definition.
     """
-    input_bytes = len(data) if data is not None else 0
+    if data is None:
+        # Null payloads must surface as ERROR rows, not vanish:
+        # skew_split routes them here via coalesce(octet_length, 0).
+        return [
+            {
+                "url": url,
+                "page_index": 1,
+                "text": None,
+                "spans": None,
+                "status": "ERROR",
+                "error": "extract: null payload",
+                "kind": "error",
+                "input_bytes": 0,
+                "n_blocks": 0,
+            }
+        ]
+    input_bytes = len(data)
     if input_bytes > MAX_PAYLOAD_BYTES:
         return [
             {
@@ -102,7 +118,7 @@ def extract_rows(url: str, data: bytes) -> list[dict]:
             }
         ]
     try:
-        if data is not None and data.startswith(b"%PDF-"):
+        if data.startswith(b"%PDF-"):
             pages = extract_pdf_pages(data)
             return [
                 {
@@ -118,7 +134,7 @@ def extract_rows(url: str, data: bytes) -> list[dict]:
                 }
                 for idx, page in enumerate(pages, start=1)
             ]
-        text, spans = extract_html(data if data is not None else b"")
+        text, spans = extract_html(data)
         return [
             {
                 "url": url,

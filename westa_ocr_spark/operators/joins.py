@@ -39,6 +39,9 @@ def asof_join(
     Tie rule: a right row with ts equal to a left row's ts matches
     (<=), and among the union's equal timestamps right rows sort
     first so the window sees them (matches DuckDB ASOF semantics).
+    When several right rows share (key, ts), a deterministic hash of
+    the right payload breaks the tie so the same row wins across
+    runs/partitionings (last in xxhash64 order).
     """
     lcols = left.columns
     l = left.select(
@@ -57,9 +60,12 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
     )
     unioned = l.unionByName(r)
+    tiebreak = F.xxhash64(
+        F.col("_r_ts"), *[F.col(f"_r_{c}") for c in right_cols]
+    )
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("_is_left").asc())
+        .orderBy(F.col(ts).asc(), F.col("_is_left").asc(), tiebreak.asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(

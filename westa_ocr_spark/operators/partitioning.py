@@ -53,8 +53,12 @@ def skew_split(
     through ONE task — measured as a flat ~30 s serial bottleneck at
     200k docs. Spark's sort-before-round-robin is per-partition and
     stays parallel.
+
+    NULL payloads size as 0 (coalesce) so they flow to the small leg
+    and reach the per-row ERROR path; a bare octet_length(NULL) is
+    NULL and would fail BOTH filters, silently dropping the row.
     """
-    size = F.octet_length(F.col(payload_col))
+    size = F.coalesce(F.octet_length(F.col(payload_col)), F.lit(0))
     small = pages.filter(size < F.lit(oversized_threshold))
     k = big_partitions or 32
     big = pages.filter(size >= F.lit(oversized_threshold)).repartition(k)
@@ -71,7 +75,7 @@ def skew_repartition(
 ) -> DataFrame:
     """skew_split plus an explicit url-hash repartition of the small
     leg — for callers whose input has no useful partitioning yet."""
-    size = F.octet_length(F.col(payload_col))
+    size = F.coalesce(F.octet_length(F.col(payload_col)), F.lit(0))
     small = (
         pages.filter(size < F.lit(oversized_threshold))
         .repartition(num_partitions, F.xxhash64(F.col(key_col)))
