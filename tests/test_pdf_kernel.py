@@ -47,3 +47,100 @@ def test_truncated_pdf_raises():
 
 def test_deterministic_bytes():
     assert write_pdf(["same"]) == write_pdf(["same"])
+
+
+# ---- real-world dialect coverage (round 2: FlateDecode, TJ, ObjStm) ----
+
+PAGES = ["hello world\nline two", "page two () \\ escaped", "café あいう 注文"]
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"compress": True},
+        {"tj_arrays": True},
+        {"compress": True, "tj_arrays": True},
+        {"objstm": True},
+        {"objstm": True, "tj_arrays": True},
+    ],
+    ids=lambda kw: "+".join(sorted(kw)),
+)
+def test_dialect_roundtrip(kw):
+    assert extract_pdf_pages(write_pdf(PAGES, **kw)) == PAGES
+
+
+def test_broken_xref_table_is_ignored():
+    """The loader scans objects; a corrupted classic xref must not
+    matter (tolerant-xref contract)."""
+    pdf = write_pdf(PAGES)
+    at = pdf.rindex(b"xref")
+    broken = pdf[:at] + b"xref\n0 1\ngarbage\n" + pdf[pdf.rindex(b"trailer"):]
+    assert extract_pdf_pages(broken) == PAGES
+
+
+def test_lying_length_falls_back_to_endstream_scan():
+    pdf = write_pdf(["short text"])
+    # corrupt every /Length to a huge value; parser must rescue via
+    # the endstream scan
+    import re
+
+    broken = re.sub(rb"/Length \d+", b"/Length 999999", pdf)
+    assert extract_pdf_pages(broken) == ["short text"]
+
+
+def test_quote_operator_and_hex_strings():
+    """Hand-written content stream: ' (move+show) and <hex> strings."""
+    from westa_ocr_spark.kernel.pdf_core import content_text
+
+    stream = b"BT /F1 12 Tf 72 720 Td (first) Tj (second) ' <746869726421> ' ET"
+    assert content_text(stream) == "first\nsecond\nthird!"
+
+
+def test_tj_array_kerning_numbers_carry_no_text():
+    from westa_ocr_spark.kernel.pdf_core import content_text
+
+    stream = b"BT [(ab) -120 (cd) 3.5 (ef)] TJ ET"
+    assert content_text(stream) == "abcdef"
+
+
+def test_nested_pages_tree():
+    """Two-level /Pages tree: kids order defines page order."""
+    pdf = write_pdf(["a", "b"])
+    # splice: make the pages node point at an intermediate node
+    mid = (
+        b"9 0 obj\n<< /Type /Pages /Kids [4 0 R 6 0 R] /Count 2 "
+        b"/Parent 2 0 R >>\nendobj\n"
+    )
+    patched = pdf.replace(
+        b"/Kids [4 0 R 6 0 R]", b"/Kids [9 0 R]"
+    )
+    at = patched.rindex(b"xref")
+    patched = patched[:at] + mid + patched[at:]
+    assert extract_pdf_pages(patched) == ["a", "b"]
+
+
+def test_flat_page_fallback_when_tree_is_broken():
+    """No catalog/pages tree at all -> /Type /Page objects in order."""
+    pdf = write_pdf(["solo"])
+    # nuke the catalog and pages-node types
+    broken = pdf.replace(b"/Type /Catalog", b"/Type /Junk").replace(
+        b"/Type /Pages", b"/Type /Junk"
+    )
+    assert extract_pdf_pages(broken) == ["solo"]
+
+
+def test_utf16be_bom_string():
+    from westa_ocr_spark.kernel.pdf_core import decode_pdf_string
+
+    assert decode_pdf_string("﻿hi".encode("utf-16-be")) == "hi"
+
+
+def test_incremental_update_later_object_wins():
+    pdf = write_pdf(["old text"])
+    # append a replacement content stream (same object number 5)
+    new_stream = b"BT /F1 12 Tf 72 720 Td (new text) Tj ET"
+    tail = (
+        b"5 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        b"%%%%EOF\n" % (len(new_stream), new_stream)
+    )
+    assert extract_pdf_pages(pdf + tail) == ["new text"]

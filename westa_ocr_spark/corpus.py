@@ -36,7 +36,7 @@ OVERSIZED_BYTES = 256 * 1024
 
 # bump when the document grammar changes: cache directories derived
 # from the corpus must not survive a grammar change
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 
 def _h(i: int, salt: str, seed: int = 42) -> bytes:
@@ -124,11 +124,22 @@ def make_html(i: int, seed: int = 42, oversized: bool = False) -> bytes:
 
 
 def make_pdf(i: int, seed: int = 42) -> bytes:
+    """PDF docs cycle through real-world dialects (corpus v3): classic
+    uncompressed, FlateDecode'd, TJ-array show text, and PDF 1.5
+    object-stream/xref-stream layouts — so the pipeline's PDF path is
+    exercised against pypdf-class documents, not just the toy writer."""
     n_pages = 1 + _hint(i, "pp", 3, seed)  # 1..3 pages
     pages = [
         "\n".join(_sentence(i, p * 100 + line, 7, seed) for line in range(3))
         for p in range(n_pages)
     ]
+    dialect = _hint(i, "pd", 4, seed)
+    if dialect == 1:
+        return write_pdf(pages, compress=True)
+    if dialect == 2:
+        return write_pdf(pages, compress=True, tj_arrays=True)
+    if dialect == 3:
+        return write_pdf(pages, objstm=True, tj_arrays=True)
     return write_pdf(pages)
 
 

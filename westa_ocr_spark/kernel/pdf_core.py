@@ -1,0 +1,640 @@
+"""Tolerant real-world PDF object model, filters, and text extraction.
+
+The reference splits and extracts arbitrary user PDFs via pypdf
+(``/root/reference/app/pdf_utils.py:23-36``, ``requirements.txt``
+pins ``pypdf``). pypdf is not available in this sandbox, so this module
+implements — pure stdlib — the subset of ISO 32000 a crawl-scale text
+extractor actually needs:
+
+* a recursive-descent object parser (dicts, arrays, names with ``#xx``
+  escapes, literal + hex strings, numbers, booleans, null, indirect
+  references);
+* tolerant document loading that **ignores the xref table entirely**
+  and scans every ``N G obj … endobj`` in file order (later definition
+  wins, which also covers incremental updates) — so broken or exotic
+  cross-reference tables cannot fail a document;
+* stream decoding: ``FlateDecode`` (zlib, with raw-deflate fallback and
+  PNG/TIFF predictors), ``ASCIIHexDecode``, ``ASCII85Decode``,
+  ``RunLengthDecode``; ``/Length`` may be direct or an indirect ref,
+  with an ``endstream``-scan fallback when it lies;
+* object streams (``/Type /ObjStm``, PDF 1.5+) — modern writers store
+  page dictionaries there, compressed;
+* page-tree walk (nested ``/Pages`` nodes, ``/Kids`` order, cycle
+  guard) with a flat ``/Type /Page`` fallback when the tree is broken;
+* a content-stream text interpreter covering ``Tj``, ``TJ`` (array
+  show with kerning), ``'``, ``"``, ``Td``, ``TD``, ``T*``, ``Tm``
+  line tracking — not just ``(…) Tj`` regexes.
+
+Everything is deterministic: no wall clock, no randomness, no
+environment reads; malformed inputs raise ``ValueError`` so the
+extraction operator can capture a per-row ERROR
+(``/root/reference/app/worker.py:798-823``).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import NamedTuple
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class Ref(NamedTuple):
+    num: int
+    gen: int
+
+
+class Name(str):
+    """A PDF name (distinct from a decoded text string)."""
+
+
+class StreamObj(NamedTuple):
+    dict: dict
+    raw: bytes  # undecoded stream payload
+
+
+# ---------------------------------------------------------------------------
+# tokenizer / object parser
+# ---------------------------------------------------------------------------
+
+
+def _skip_ws(data: bytes, i: int) -> int:
+    n = len(data)
+    while i < n:
+        c = data[i : i + 1]
+        if c in (b"\x00", b"\t", b"\n", b"\x0c", b"\r", b" "):
+            i += 1
+        elif c == b"%":  # comment to end of line
+            while i < n and data[i : i + 1] not in (b"\r", b"\n"):
+                i += 1
+        else:
+            break
+    return i
+
+
+_NAME_ESC = re.compile(rb"#([0-9A-Fa-f]{2})")
+
+
+def _parse_name(data: bytes, i: int) -> tuple[Name, int]:
+    i += 1  # past '/'
+    start = i
+    n = len(data)
+    while i < n and data[i : i + 1] not in _WS + _DELIM.replace(b"/", b"") \
+            and data[i : i + 1] != b"/":
+        i += 1
+    raw = data[start:i]
+    raw = _NAME_ESC.sub(lambda m: bytes([int(m.group(1), 16)]), raw)
+    return Name(raw.decode("latin-1")), i
+
+
+_STR_SIMPLE_ESC = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\x0c",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _parse_string(data: bytes, i: int) -> tuple[bytes, int]:
+    """Literal string ``( … )`` with escapes and balanced parens."""
+    i += 1
+    out = bytearray()
+    depth = 1
+    n = len(data)
+    while i < n:
+        c = data[i : i + 1]
+        if c == b"\\":
+            nxt = data[i + 1 : i + 2]
+            if nxt in _STR_SIMPLE_ESC:
+                out += _STR_SIMPLE_ESC[nxt]
+                i += 2
+            elif nxt.isdigit():
+                j = i + 1
+                while j < n and j < i + 4 and data[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(data[i + 1 : j], 8) & 0xFF)
+                i = j
+            elif nxt in (b"\r", b"\n"):  # line continuation
+                i += 2
+                if nxt == b"\r" and data[i : i + 1] == b"\n":
+                    i += 1
+            else:
+                out += nxt
+                i += 2
+        elif c == b"(":
+            depth += 1
+            out += c
+            i += 1
+        elif c == b")":
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out += c
+            i += 1
+        else:
+            out += c
+            i += 1
+    raise ValueError("malformed PDF (unterminated string)")
+
+
+def _parse_hex_string(data: bytes, i: int) -> tuple[bytes, int]:
+    end = data.find(b">", i + 1)
+    if end < 0:
+        raise ValueError("malformed PDF (unterminated hex string)")
+    hexdigits = re.sub(rb"[^0-9A-Fa-f]", b"", data[i + 1 : end])
+    if len(hexdigits) % 2:
+        hexdigits += b"0"
+    return bytes.fromhex(hexdigits.decode("ascii")), end + 1
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
+_KEYWORD_RE = re.compile(rb"[A-Za-z*'\"]+")
+
+
+def parse_object(data: bytes, i: int):
+    """Parse one PDF object at ``i``; returns ``(value, next_pos)``."""
+    i = _skip_ws(data, i)
+    if i >= len(data):
+        raise ValueError("malformed PDF (unexpected end of data)")
+    c = data[i : i + 1]
+    if c == b"/":
+        return _parse_name(data, i)
+    if data.startswith(b"<<", i):
+        return _parse_dict(data, i)
+    if c == b"<":
+        return _parse_hex_string(data, i)
+    if c == b"(":
+        return _parse_string(data, i)
+    if c == b"[":
+        i += 1
+        arr = []
+        while True:
+            i = _skip_ws(data, i)
+            if data.startswith(b"]", i):
+                return arr, i + 1
+            if i >= len(data):
+                raise ValueError("malformed PDF (unterminated array)")
+            val, i = parse_object(data, i)
+            arr.append(val)
+    m = _NUM_RE.match(data, i)
+    if m:
+        # lookahead for "num gen R" indirect reference
+        j = _skip_ws(data, m.end())
+        m2 = _NUM_RE.match(data, j)
+        if m2 and b"." not in m.group() and b"." not in m2.group():
+            k = _skip_ws(data, m2.end())
+            if data.startswith(b"R", k) and not _KEYWORD_RE.match(
+                data, k + 1
+            ):
+                return Ref(int(m.group()), int(m2.group())), k + 1
+        tok = m.group()
+        return (float(tok) if b"." in tok else int(tok)), m.end()
+    m = _KEYWORD_RE.match(data, i)
+    if m:
+        kw = m.group()
+        if kw == b"true":
+            return True, m.end()
+        if kw == b"false":
+            return False, m.end()
+        if kw == b"null":
+            return None, m.end()
+        raise ValueError(f"malformed PDF (unexpected keyword {kw[:16]!r})")
+    raise ValueError(f"malformed PDF (unexpected byte {c!r})")
+
+
+def _parse_dict(data: bytes, i: int) -> tuple[dict, int]:
+    i += 2
+    out: dict = {}
+    while True:
+        i = _skip_ws(data, i)
+        if data.startswith(b">>", i):
+            return out, i + 2
+        if i >= len(data):
+            raise ValueError("malformed PDF (unterminated dict)")
+        if data[i : i + 1] != b"/":
+            raise ValueError("malformed PDF (dict key is not a name)")
+        key, i = _parse_name(data, i)
+        val, i = parse_object(data, i)
+        out[key] = val
+
+
+# ---------------------------------------------------------------------------
+# stream filters
+# ---------------------------------------------------------------------------
+
+
+def _png_predictor(data: bytes, colors: int, bpc: int,
+                   columns: int) -> bytes:
+    bpp = max(1, (colors * bpc) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i = 0
+    while i + 1 <= len(data):
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        i += 1 + rowlen
+        if ft == 1:  # Sub
+            for k in range(bpp, len(row)):
+                row[k] = (row[k] + row[k - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for k in range(len(row)):
+                row[k] = (row[k] + prev[k]) & 0xFF
+        elif ft == 3:  # Average
+            for k in range(len(row)):
+                left = row[k - bpp] if k >= bpp else 0
+                row[k] = (row[k] + (left + prev[k]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for k in range(len(row)):
+                a = row[k - bpp] if k >= bpp else 0
+                b = prev[k]
+                cc = prev[k - bpp] if k >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else cc
+                )
+                row[k] = (row[k] + pred) & 0xFF
+        # ft == 0: None
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _flate(data: bytes, parms: dict) -> bytes:
+    try:
+        raw = zlib.decompress(data)
+    except zlib.error:
+        try:
+            raw = zlib.decompressobj(-15).decompress(data)  # raw deflate
+        except zlib.error as exc:
+            raise ValueError(f"malformed PDF (flate: {exc})") from exc
+    pred = parms.get("Predictor", 1)
+    if pred == 1:
+        return raw
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    columns = parms.get("Columns", 1)
+    if pred >= 10:
+        return _png_predictor(raw, colors, bpc, columns)
+    if pred == 2:  # TIFF horizontal differencing (8-bit only)
+        if bpc != 8:
+            raise ValueError("malformed PDF (TIFF predictor bpc != 8)")
+        rowlen = columns * colors
+        out = bytearray(raw)
+        for r0 in range(0, len(out) - rowlen + 1, rowlen):
+            for k in range(colors, rowlen):
+                out[r0 + k] = (out[r0 + k] + out[r0 + k - colors]) & 0xFF
+        return bytes(out)
+    raise ValueError(f"malformed PDF (unknown predictor {pred})")
+
+
+def _ascii_hex(data: bytes, _parms: dict) -> bytes:
+    body = data.split(b">")[0]
+    hexdigits = re.sub(rb"[^0-9A-Fa-f]", b"", body)
+    if len(hexdigits) % 2:
+        hexdigits += b"0"
+    return bytes.fromhex(hexdigits.decode("ascii"))
+
+
+def _ascii85(data: bytes, _parms: dict) -> bytes:
+    import base64
+
+    body = data.split(b"~>")[0]
+    body = re.sub(rb"\s", b"", body)
+    if body.startswith(b"<~"):
+        body = body[2:]
+    try:
+        return base64.a85decode(body)
+    except ValueError as exc:
+        raise ValueError(f"malformed PDF (a85: {exc})") from exc
+
+
+def _runlength(data: bytes, _parms: dict) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        l = data[i]
+        if l == 128:
+            break
+        if l < 128:
+            out += data[i + 1 : i + 2 + l]
+            i += 2 + l
+        else:
+            out += data[i + 1 : i + 2] * (257 - l)
+            i += 2
+    return bytes(out)
+
+
+_FILTERS = {
+    "FlateDecode": _flate, "Fl": _flate,
+    "ASCIIHexDecode": _ascii_hex, "AHx": _ascii_hex,
+    "ASCII85Decode": _ascii85, "A85": _ascii85,
+    "RunLengthDecode": _runlength, "RL": _runlength,
+}
+
+
+# ---------------------------------------------------------------------------
+# document store
+# ---------------------------------------------------------------------------
+
+_OBJ_HDR = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_TRAILER = re.compile(rb"trailer")
+
+
+class PdfDocument:
+    """All objects of a PDF, loaded by tolerant full-file scan."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.objects: dict[int, object] = {}
+        self._scan()
+        self._expand_object_streams()
+
+    # -- loading ----------------------------------------------------------
+
+    def _scan(self) -> None:
+        data = self.data
+        for m in _OBJ_HDR.finditer(data):
+            num = int(m.group(1))
+            try:
+                val, pos = parse_object(data, m.end())
+            except ValueError:
+                continue  # tolerate one broken object, keep scanning
+            pos = _skip_ws(data, pos)
+            if isinstance(val, dict) and data.startswith(b"stream", pos):
+                pos += len(b"stream")
+                if data.startswith(b"\r\n", pos):
+                    pos += 2
+                elif data.startswith(b"\n", pos) or data.startswith(
+                    b"\r", pos
+                ):
+                    pos += 1
+                val = StreamObj(val, self._slice_stream(val, pos))
+            # file order: a later definition (incremental update) wins
+            self.objects[num] = val
+
+    def _slice_stream(self, d: dict, start: int) -> bytes:
+        data = self.data
+        length = d.get("Length")
+        if isinstance(length, Ref):
+            target = None
+            # /Length often points FORWARD; do a local scan for it
+            m = re.search(
+                rb"%d\s+%d\s+obj\b" % (length.num, length.gen), data
+            )
+            if m:
+                try:
+                    target, _ = parse_object(data, m.end())
+                except ValueError:
+                    target = None
+            length = target
+        if isinstance(length, int) and 0 <= length <= len(data) - start:
+            end = start + length
+            tail = data[end : end + 20]
+            if b"endstream" in _skip_to_token(tail):
+                return data[start:end]
+        # tolerant fallback: the /Length lied (or was absent)
+        end = data.find(b"endstream", start)
+        if end < 0:
+            raise ValueError("malformed PDF (stream without endstream)")
+        seg = data[start:end]
+        if seg.endswith(b"\r\n"):
+            seg = seg[:-2]
+        elif seg.endswith(b"\n") or seg.endswith(b"\r"):
+            seg = seg[:-1]
+        return seg
+
+    def _expand_object_streams(self) -> None:
+        """PDF 1.5 object streams: compressed container objects."""
+        for num in list(self.objects):
+            val = self.objects[num]
+            if not isinstance(val, StreamObj):
+                continue
+            if val.dict.get("Type") != Name("ObjStm"):
+                continue
+            try:
+                payload = self.decode_stream(val)
+                count = int(self.resolve(val.dict.get("N", 0)))
+                first = int(self.resolve(val.dict.get("First", 0)))
+            except (ValueError, TypeError):
+                continue
+            header = payload[:first].split()
+            for k in range(count):
+                try:
+                    onum = int(header[2 * k])
+                    off = int(header[2 * k + 1])
+                    inner, _ = parse_object(payload, first + off)
+                except (IndexError, ValueError):
+                    continue
+                # direct (file-order) definitions take precedence
+                self.objects.setdefault(onum, inner)
+
+    # -- access -----------------------------------------------------------
+
+    def resolve(self, val, _depth: int = 0):
+        while isinstance(val, Ref) and _depth < 32:
+            val = self.objects.get(val.num)
+            _depth += 1
+        return val
+
+    def decode_stream(self, obj: StreamObj) -> bytes:
+        data = obj.raw
+        filt = self.resolve(obj.dict.get("Filter"))
+        parms = self.resolve(obj.dict.get("DecodeParms")) or {}
+        if filt is None:
+            return data
+        if not isinstance(filt, list):
+            filt, parms = [filt], [parms]
+        elif not isinstance(parms, list):
+            parms = [parms] * len(filt)
+        for f, p in zip(filt, parms):
+            fn = _FILTERS.get(str(self.resolve(f)))
+            if fn is None:
+                raise ValueError(f"malformed PDF (unsupported filter /{f})")
+            data = fn(data, self.resolve(p) or {})
+        return data
+
+    # -- page tree ----------------------------------------------------------
+
+    def _find_root(self) -> dict | None:
+        # trailer dict(s), last wins (incremental updates)
+        root_ref = None
+        for m in _TRAILER.finditer(self.data):
+            try:
+                d, _ = parse_object(self.data, m.end())
+            except ValueError:
+                continue
+            if isinstance(d, dict) and "Root" in d:
+                root_ref = d["Root"]
+        if root_ref is None:
+            # xref streams carry the trailer in their own dict
+            for val in self.objects.values():
+                if isinstance(val, StreamObj) and val.dict.get(
+                    "Type"
+                ) == Name("XRef") and "Root" in val.dict:
+                    root_ref = val.dict["Root"]
+        if root_ref is not None:
+            root = self.resolve(root_ref)
+            if isinstance(root, dict):
+                return root
+        for val in self.objects.values():  # tolerant fallback
+            v = val.dict if isinstance(val, StreamObj) else val
+            if isinstance(v, dict) and v.get("Type") == Name("Catalog"):
+                return v
+        return None
+
+    def pages(self) -> list[dict]:
+        """Page dictionaries in document order."""
+        root = self._find_root()
+        out: list[dict] = []
+        if root is not None:
+            node = self.resolve(root.get("Pages"))
+            if isinstance(node, dict):
+                self._walk(node, out, set())
+        if out:
+            return out
+        # broken/absent tree: every /Type /Page in file order
+        for num in sorted(self.objects):
+            v = self.objects[num]
+            if isinstance(v, dict) and v.get("Type") == Name("Page"):
+                out.append(v)
+        if not out:
+            raise ValueError("malformed PDF (no /Pages /Kids)")
+        return out
+
+    def _walk(self, node: dict, out: list[dict], seen: set[int]) -> None:
+        if id(node) in seen or len(out) > 100_000:
+            return
+        seen.add(id(node))
+        if node.get("Type") == Name("Page"):
+            out.append(node)
+            return
+        kids = self.resolve(node.get("Kids"))
+        if not isinstance(kids, list):
+            return
+        for kid_ref in kids:
+            kid = self.resolve(kid_ref)
+            if kid is None:
+                raise ValueError("malformed PDF (dangling page ref)")
+            if isinstance(kid, dict):
+                self._walk(kid, out, seen)
+
+    def page_content(self, page: dict) -> bytes:
+        contents = self.resolve(page.get("Contents"))
+        if contents is None:
+            raise ValueError("malformed PDF (page without /Contents)")
+        parts = contents if isinstance(contents, list) else [contents]
+        chunks: list[bytes] = []
+        for part in parts:
+            obj = self.resolve(part)
+            if obj is None:
+                raise ValueError("malformed PDF (dangling contents ref)")
+            if not isinstance(obj, StreamObj):
+                raise ValueError("malformed PDF (contents without stream)")
+            chunks.append(self.decode_stream(obj))
+        return b"\n".join(chunks)
+
+
+def _skip_to_token(tail: bytes) -> bytes:
+    return tail.lstrip(_WS)
+
+
+# ---------------------------------------------------------------------------
+# content-stream text interpreter
+# ---------------------------------------------------------------------------
+
+
+def decode_pdf_string(b: bytes) -> str:
+    """Text-string decode: UTF-16BE when BOM'd, else UTF-8 with a
+    latin-1 (PDFDocEncoding-ish) fallback for legacy byte strings."""
+    if b.startswith(b"\xfe\xff"):
+        return b[2:].decode("utf-16-be", errors="replace")
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
+_SHOW_OPS = {b"Tj", b"'", b'"'}
+_NEWLINE_OPS = {b"Td", b"TD", b"T*", b"Tm"}
+
+
+def content_text(stream: bytes) -> str:
+    """Interpret a content stream's text operators into plain text.
+
+    Line model: ``Td/TD/T*/Tm`` start a new line once the current line
+    has shown text (matching how writers emit one text-positioning op
+    per visual line); ``'`` and ``"`` imply T* themselves. ``TJ``
+    concatenates its string elements (kerning numbers carry no text and
+    are ignored — deterministic, and correct for machine-written PDFs).
+    """
+    lines: list[str] = []
+    cur: list[str] = []
+    has_text = False
+
+    def new_line() -> None:
+        nonlocal has_text
+        if has_text:
+            lines.append("".join(cur))
+            cur.clear()
+            has_text = False
+
+    operands: list = []
+    i = 0
+    n = len(stream)
+    while i < n:
+        i = _skip_ws(stream, i)
+        if i >= n:
+            break
+        c = stream[i : i + 1]
+        if c in b"/<([" or c.isdigit() or c in b"+-." or (
+            c == b"<" or stream.startswith(b"<<", i)
+        ):
+            try:
+                val, i = parse_object(stream, i)
+                operands.append(val)
+                continue
+            except ValueError:
+                i += 1
+                operands.clear()
+                continue
+        m = _KEYWORD_RE.match(stream, i)
+        if not m:
+            i += 1
+            operands.clear()
+            continue
+        op = m.group()
+        i = m.end()
+        if op == b"ID":
+            # inline image: raw binary follows until EI — skip it, it
+            # would otherwise derail the tokenizer
+            end = stream.find(b"EI", i)
+            i = n if end < 0 else end + 2
+            operands.clear()
+            continue
+        if op in _NEWLINE_OPS:
+            new_line()
+        elif op == b"Tj":
+            if operands and isinstance(operands[-1], bytes):
+                cur.append(decode_pdf_string(operands[-1]))
+                has_text = True
+        elif op in (b"'", b'"'):
+            new_line()
+            if operands and isinstance(operands[-1], bytes):
+                cur.append(decode_pdf_string(operands[-1]))
+                has_text = True
+        elif op == b"TJ":
+            if operands and isinstance(operands[-1], list):
+                for el in operands[-1]:
+                    if isinstance(el, bytes):
+                        cur.append(decode_pdf_string(el))
+                        has_text = True
+        elif op == b"BT":
+            new_line()
+        elif op == b"true" or op == b"false" or op == b"null":
+            # parse_object consumed these as operands already; no-op
+            pass
+        operands.clear()
+    new_line()
+    return "\n".join(lines)

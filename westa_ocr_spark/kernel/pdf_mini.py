@@ -1,26 +1,38 @@
-"""Minimal PDF writer + page-split/text parser (pure stdlib).
+"""PDF writer (multiple dialects) + page-split/text extraction API.
 
 The reference splits PDFs into one payload per page with 1-based
 indices and a fixed mime type (``/root/reference/app/pdf_utils.py:23-36``)
-using pypdf. pypdf is not available in this environment, so the synthetic
-corpus (FIXTURES.md §1.2) is written by :func:`write_pdf` — a minimal,
-uncompressed PDF 1.4 serializer — and parsed back by
-:func:`extract_pdf_pages`, which honors the same contracts:
+using pypdf. pypdf is not available in this environment, so:
+
+* :func:`extract_pdf_pages` parses real-world PDFs via
+  :mod:`westa_ocr_spark.kernel.pdf_core` — FlateDecode, TJ arrays,
+  object streams, xref-stream documents, tolerant xref handling (the
+  loader scans objects and never trusts the xref table);
+* :func:`write_pdf` serializes synthetic corpus documents in three
+  dialects so the parser's real-PDF paths are exercised end-to-end:
+
+  - **classic**: uncompressed PDF 1.4, one ``(line) Tj`` per line,
+    classic xref table (byte-identical to the round-1 writer);
+  - **compress=True**: FlateDecode'd content streams;
+  - **tj_arrays=True**: show text as ``[(seg) kern (seg)] TJ``;
+  - **objstm=True** (implies PDF 1.5): page/catalog/font dicts packed
+    into a compressed ``/Type /ObjStm`` and a ``/Type /XRef``
+    cross-reference *stream* (PNG-predictor, FlateDecode) instead of a
+    classic xref table — the layout modern writers emit.
+
+Contracts honored either way:
 
 * pages are enumerated in ``/Kids`` order with 1-based indices
   (``/root/reference/app/pdf_utils.py:29``);
 * a non-PDF or truncated byte stream raises ``ValueError`` -> per-row
   ERROR path (``/root/reference/app/worker.py:798-823``).
-
-Text model: each page's content stream holds one ``(line) Tj`` show-text
-operator per line; the parser re-joins lines with ``"\\n"``. Only the
-PDF string escapes ``\\\\ \\( \\)`` and octal escapes are supported —
-enough for a deterministic, byte-identical round trip.
 """
 
 from __future__ import annotations
 
-import re
+import zlib
+
+from westa_ocr_spark.kernel.pdf_core import PdfDocument, content_text
 
 _ESCAPES = {"\\": "\\\\", "(": "\\(", ")": "\\)"}
 
@@ -29,36 +41,61 @@ def _esc(line: str) -> str:
     return "".join(_ESCAPES.get(ch, ch) for ch in line)
 
 
-def _unesc(raw: str) -> str:
-    out: list[str] = []
-    i = 0
-    while i < len(raw):
-        ch = raw[i]
-        if ch == "\\" and i + 1 < len(raw):
-            nxt = raw[i + 1]
-            if nxt in "\\()":
-                out.append(nxt)
-                i += 2
-                continue
-            if nxt.isdigit():  # octal escape \ddd
-                j = i + 1
-                while j < len(raw) and j < i + 4 and raw[j].isdigit():
-                    j += 1
-                out.append(chr(int(raw[i + 1 : j], 8)))
-                i = j
-                continue
-        out.append(ch)
-        i += 1
-    return "".join(out)
+def _enc(line: str) -> str:
+    """Escape PDF specials, then octal-escape non-ASCII via UTF-8."""
+    esc = _esc(line)
+    return "".join(
+        ch
+        if ord(ch) < 128
+        else "".join(f"\\{b:03o}" for b in ch.encode("utf-8"))
+        for ch in esc
+    )
 
 
-def write_pdf(pages: list[str]) -> bytes:
-    """Serialize a list of page texts into a minimal valid PDF.
+def _content_stream(page_text: str, tj_arrays: bool) -> bytes:
+    lines = page_text.split("\n")
+    ops = ["BT /F1 12 Tf 72 720 Td"]
+    for k, line in enumerate(lines):
+        if k:
+            ops.append("0 -14 Td")
+        if tj_arrays and len(line) >= 2:
+            mid = len(line) // 2
+            ops.append(
+                f"[({_enc(line[:mid])}) -12 ({_enc(line[mid:])})] TJ"
+            )
+        else:
+            ops.append(f"({_enc(line)}) Tj")
+    ops.append("ET")
+    return " ".join(ops).encode("latin-1")
+
+
+def _stream_obj(payload: bytes, compress: bool,
+                extra: str = "") -> bytes:
+    if compress:
+        payload = zlib.compress(payload, 9)
+        extra += " /Filter /FlateDecode"
+    return (
+        f"<< /Length {len(payload)}{extra} >>\nstream\n".encode("latin-1")
+        + payload
+        + b"\nendstream"
+    )
+
+
+def write_pdf(
+    pages: list[str],
+    *,
+    compress: bool = False,
+    tj_arrays: bool = False,
+    objstm: bool = False,
+) -> bytes:
+    """Serialize a list of page texts into a valid PDF (see module doc).
 
     Text is encoded latin-1-escaped (non-latin-1 chars become octal
-    escapes of their UTF-8 bytes so the round trip is byte-exact at the
-    UTF-8 level).
+    escapes of their UTF-8 bytes so the round trip is byte-exact at
+    the UTF-8 level). Deterministic for a given input + flags.
     """
+    if objstm:
+        return _write_pdf_objstm(pages, tj_arrays=tj_arrays)
     n = len(pages)
     objects: list[bytes] = []
 
@@ -72,31 +109,13 @@ def write_pdf(pages: list[str]) -> bytes:
     objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
     for i, page_text in enumerate(pages):
-        lines = page_text.split("\n")
-        ops = ["BT /F1 12 Tf 72 720 Td"]
-        for k, line in enumerate(lines):
-            if k:
-                ops.append("0 -14 Td")
-            # escape PDF specials, then octal-escape non-latin-1 via UTF-8
-            esc = _esc(line)
-            enc = "".join(
-                ch
-                if ord(ch) < 128
-                else "".join(f"\\{b:03o}" for b in ch.encode("utf-8"))
-                for ch in esc
-            )
-            ops.append(f"({enc}) Tj")
-        ops.append("ET")
-        stream = " ".join(ops).encode("latin-1")
         objects.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             f"/Contents {5 + 2 * i} 0 R "
             f"/Resources << /Font << /F1 3 0 R >> >> >>".encode("latin-1")
         )
         objects.append(
-            f"<< /Length {len(stream)} >>\nstream\n".encode("latin-1")
-            + stream
-            + b"\nendstream"
+            _stream_obj(_content_stream(page_text, tj_arrays), compress)
         )
 
     buf = bytearray(b"%PDF-1.4\n")
@@ -116,12 +135,115 @@ def write_pdf(pages: list[str]) -> bytes:
     return bytes(buf)
 
 
-_OBJ_RE = re.compile(rb"(\d+) 0 obj\s*(.*?)\s*endobj", re.S)
-_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
-_REF_RE = re.compile(rb"(\d+) 0 R")
-_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+) 0 R")
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
-_TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
+def _write_pdf_objstm(pages: list[str], tj_arrays: bool) -> bytes:
+    """PDF 1.5 layout: dicts in an ObjStm, xref as a compressed stream.
+
+    Object numbering: 1..n content streams, n+1 the ObjStm, n+2
+    catalog, n+3 pages node, n+4 font, n+5.. page dicts (all inside
+    the ObjStm), 2n+5 the XRef stream.
+    """
+    n = len(pages)
+    objstm_num = n + 1
+    cat, pgs, _fnt = n + 2, n + 3, n + 4
+    page0 = n + 5
+    xref_num = 2 * n + 5
+
+    # --- container objects (live inside the ObjStm) ---
+    inner: list[tuple[int, bytes]] = [
+        (cat, f"<< /Type /Catalog /Pages {pgs} 0 R >>".encode("latin-1")),
+        (
+            pgs,
+            (
+                "<< /Type /Pages /Kids ["
+                + " ".join(f"{page0 + i} 0 R" for i in range(n))
+                + f"] /Count {n} >>"
+            ).encode("latin-1"),
+        ),
+        (n + 4,
+         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    for i in range(n):
+        inner.append(
+            (
+                page0 + i,
+                (
+                    f"<< /Type /Page /Parent {pgs} 0 R "
+                    f"/MediaBox [0 0 612 792] /Contents {1 + i} 0 R "
+                    f"/Resources << /Font << /F1 {n + 4} 0 R >> >> >>"
+                ).encode("latin-1"),
+            )
+        )
+    body = bytearray()
+    header_pairs: list[str] = []
+    for onum, ob in inner:
+        header_pairs.append(f"{onum} {len(body)}")
+        body += ob + b" "
+    header = (" ".join(header_pairs) + " ").encode("latin-1")
+    objstm_payload = header + bytes(body)
+    objstm_obj = _stream_obj(
+        zlib.compress(objstm_payload, 9),
+        compress=False,
+        extra=(
+            f" /Type /ObjStm /N {len(inner)} /First {len(header)}"
+            " /Filter /FlateDecode"
+        ),
+    )
+
+    # --- assemble file ---
+    buf = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for i, page_text in enumerate(pages):
+        offsets[1 + i] = len(buf)
+        buf += f"{1 + i} 0 obj\n".encode("latin-1")
+        buf += _stream_obj(_content_stream(page_text, tj_arrays), True)
+        buf += b"\nendobj\n"
+    offsets[objstm_num] = len(buf)
+    buf += f"{objstm_num} 0 obj\n".encode("latin-1") + objstm_obj
+    buf += b"\nendobj\n"
+
+    # --- xref stream: W [1 4 2], entries for objects 0..xref_num ---
+    # (4-byte offsets: a 2-byte field would overflow past 64 KiB)
+    xref_at = len(buf)
+    size = xref_num + 1
+    rows: list[bytes] = []
+    for onum in range(size):
+        if onum == 0:
+            rows.append(bytes([0]) + (0).to_bytes(4, "big")
+                        + (0xFFFF).to_bytes(2, "big"))
+        elif onum in offsets:
+            rows.append(bytes([1]) + offsets[onum].to_bytes(4, "big")
+                        + (0).to_bytes(2, "big"))
+        elif onum == xref_num:
+            rows.append(bytes([1]) + xref_at.to_bytes(4, "big")
+                        + (0).to_bytes(2, "big"))
+        else:  # compressed object: (objstm number, index within)
+            idx = next(
+                k for k, (num, _) in enumerate(inner) if num == onum
+            )
+            rows.append(bytes([2]) + objstm_num.to_bytes(4, "big")
+                        + idx.to_bytes(2, "big"))
+    # PNG Up-predictor (type 2) rows, like real writers emit
+    width = 7
+    pred_rows = bytearray()
+    prev = bytes(width)
+    for row in rows:
+        pred_rows.append(2)
+        pred_rows += bytes((row[k] - prev[k]) & 0xFF for k in range(width))
+        prev = row
+    xref_payload = zlib.compress(bytes(pred_rows), 9)
+    buf += f"{xref_num} 0 obj\n".encode("latin-1")
+    buf += _stream_obj(
+        xref_payload,
+        compress=False,
+        extra=(
+            f" /Type /XRef /Size {size} /Root {cat} 0 R /W [1 4 2]"
+            f" /Index [0 {size}] /Filter /FlateDecode"
+            " /DecodeParms << /Predictor 12 /Columns 7 >>"
+        ),
+    )
+    buf += b"\nendobj\n"
+    buf += f"startxref\n{xref_at}\n%%EOF\n".encode("latin-1")
+    return bytes(buf)
 
 
 def split_pdf(data: bytes) -> list[bytes]:
@@ -132,7 +254,7 @@ def split_pdf(data: bytes) -> list[bytes]:
     re-serialized as an independent single-page document; the caller
     pairs each with a 1-based index and ``application/pdf`` mime.
     Implemented by re-serializing each page's extracted text through
-    the same writer, so the per-page byte streams are deterministic
+    the classic writer, so the per-page byte streams are deterministic
     and parse back to identical text.
     """
     return [write_pdf([page]) for page in extract_pdf_pages(data)]
@@ -143,47 +265,14 @@ def extract_pdf_pages(data: bytes) -> list[str]:
 
     Returns a list of page texts; the caller assigns 1-based
     ``page_index`` by position (reference contract:
-    ``/root/reference/app/pdf_utils.py:29``). Raises ``ValueError`` for
-    non-PDF or truncated input.
+    ``/root/reference/app/pdf_utils.py:29``). Raises ``ValueError``
+    for non-PDF or truncated input. Handles compressed streams,
+    TJ-array show text, object-stream/xref-stream documents, and
+    broken xref tables (see :mod:`westa_ocr_spark.kernel.pdf_core`).
     """
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF byte stream (missing %PDF- magic)")
     if b"%%EOF" not in data:
         raise ValueError("truncated PDF (missing %%EOF)")
-
-    objs = {m.group(1): m.group(2) for m in _OBJ_RE.finditer(data)}
-    kids: list[bytes] | None = None
-    for body in objs.values():
-        if b"/Type /Pages" in body or b"/Type/Pages" in body:
-            m = _KIDS_RE.search(body)
-            if m:
-                kids = [r.group(1) for r in _REF_RE.finditer(m.group(1))]
-            break
-    if not kids:
-        raise ValueError("malformed PDF (no /Pages /Kids)")
-
-    pages: list[str] = []
-    for kid in kids:
-        page_obj = objs.get(kid)
-        if page_obj is None:
-            raise ValueError("malformed PDF (dangling page ref)")
-        cm = _CONTENTS_RE.search(page_obj)
-        if cm is None:
-            raise ValueError("malformed PDF (page without /Contents)")
-        content = objs.get(cm.group(1))
-        if content is None:
-            raise ValueError("malformed PDF (dangling contents ref)")
-        sm = _STREAM_RE.search(content)
-        if sm is None:
-            raise ValueError("malformed PDF (contents without stream)")
-        lines = [
-            _unesc(m.group(1).decode("latin-1"))
-            for m in _TJ_RE.finditer(sm.group(1))
-        ]
-        # lines whose chars came from octal-escaped UTF-8 bytes decode here
-        page = "\n".join(
-            line.encode("latin-1").decode("utf-8", errors="strict")
-            for line in lines
-        )
-        pages.append(page)
-    return pages
+    doc = PdfDocument(data)
+    return [content_text(doc.page_content(p)) for p in doc.pages()]
