@@ -154,3 +154,94 @@ def test_ivf_assignment_deterministic(spark):
          for r in ivf_assign(emb, cents).collect()}
     assert a == b
     assert len(set(a.values())) > 1  # clusters actually split the data
+
+
+# ---- round 2: group resolution, hot-shingle cap, vectorized simhash ----
+
+
+def test_connected_components_chain_and_islands(spark):
+    from westa_ocr_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        ["doc_a", "doc_b"],
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_near_dup_chain_collapses_to_one_group(spark):
+    """A~B and B~C collide in (possibly different) LSH bands; A and C
+    share no band — connected components must still put all three in
+    ONE group (the cross-band resolution plain LSH lacks)."""
+    from westa_ocr_spark.operators.dedup import (
+        duplicate_groups,
+        lsh_candidate_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while carrying "
+            "a very heavy basket of fresh garden vegetables to market "
+            "every single morning before sunrise and returns home late")
+    words = base.split()
+    a = " ".join(words)
+    mid = list(words)
+    mid[3] = "red"          # B: one word differs from A
+    b = " ".join(mid)
+    far = list(mid)
+    far[-2] = "quite"       # C: one word differs from B, two from A
+    far[7] = "happy"
+    c = " ".join(far)
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (99, "completely unrelated text about "
+                                      "spark shuffle partitions and arrow "
+                                      "record batches in a columnar engine")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in lsh_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs
+    assert not any(99 in p for p in pairs)
+    groups = duplicate_groups(docs).collect()
+    by_doc = {r["doc_id"]: r for r in groups}
+    assert set(by_doc) == {1, 2, 3}  # 99 is in no group
+    assert {by_doc[d]["canonical_id"] for d in (1, 2, 3)} == {1}
+    assert {by_doc[d]["group_size"] for d in (1, 2, 3)} == {3}
+
+
+def test_ngram_jaccard_max_df_drops_hot_shingle(spark):
+    """One ubiquitous shingle must not pair otherwise-unrelated docs
+    (the quadratic-bucket skew killer)."""
+    from westa_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "copyright all rights reserved"
+    docs = spark.createDataFrame(
+        [(i, f"{hot} unique{i} token{i} filler{i} "
+              f"word{i * 7} tail{i * 13}") for i in range(1, 9)],
+        ["doc_id", "text"],
+    )
+    # with the cap at df<=3 the shared boilerplate shingles vanish ->
+    # no candidate pairs at all
+    capped = ngram_jaccard_pairs(docs, max_df=3, top_n=None)
+    assert capped.count() == 0
+    # without the cap the hot shingles pair every doc with every doc
+    uncapped = ngram_jaccard_pairs(docs, max_df=None, top_n=None)
+    assert uncapped.count() == 8 * 7 // 2
+
+
+def test_simhash64_vectorized_matches_pure_python(spark):
+    from westa_ocr_spark.corpus import generate_rows
+    from westa_ocr_spark.operators.dedup import _simhash64_py, simhash64
+
+    texts = []
+    for row in generate_rows(40):
+        texts.append(row["text"] or row["url"])
+    texts += ["", "   ", "one", "Ünïcode słowa 漢字 mixed WITH caps 123"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["simhash64"] for r in simhash64(docs).collect()}
+    want = {i: _simhash64_py(t) for i, t in enumerate(texts)}
+    assert got == want

@@ -1759,3 +1759,59 @@ _SQL_RUNNING_RANGE_WINDOW = (
 
 QUERIES["running_range_window"] = (
     _q_running_range_window, _SQL_RUNNING_RANGE_WINDOW)
+
+
+# ---------------------------------------------------------------------------
+# Coverage batch 7 (round 2): duplicate-group resolution
+
+def _q_duplicate_groups(spark, sf):
+    """LSH/Jaccard candidate edges -> connected components ->
+    (doc_id, canonical_id, group_size). The oracled twin derives its
+    edges from the SQL-expressible Jaccard path (jaccard >= 0.9) so
+    DuckDB can replay the whole thing with a recursive CTE; the
+    128-perm LSH edge source is covered by `lsh_dup_candidates` +
+    the chain-collapse unit test."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    edges = dedup.ngram_jaccard_pairs(
+        docs, min_jaccard=0.9, top_n=None
+    ).select("doc_a", "doc_b")
+    return dedup.duplicate_groups(docs, edges=edges)
+
+
+_SQL_DUPLICATE_GROUPS = (
+    "WITH RECURSIVE sh AS (SELECT DISTINCT doc_id, shingle FROM ("
+    "SELECT doc_id, unnest(" + _sql_shingles("text") + ") AS shingle "
+    "FROM documents WHERE doc_id < 500) WHERE length(shingle) > 0), "
+    "sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1), "
+    "shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "count(*) AS shared FROM sh a JOIN sh b USING (shingle) "
+    "WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "pairs AS (SELECT doc_a, doc_b FROM shared "
+    "JOIN sizes sa ON sa.doc_id = doc_a "
+    "JOIN sizes sb ON sb.doc_id = doc_b WHERE "
+    + _sql_round_det(
+        "cast(shared AS double) / (sa.n_shingles + sb.n_shingles - shared)",
+        6)
+    + " >= 0.9), "
+    "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+    "UNION SELECT doc_b, doc_a FROM pairs), "
+    "walk(node, label) AS (SELECT u, u FROM edges UNION "
+    "SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node), "
+    "comp AS (SELECT node, min(label) AS canonical_id FROM walk "
+    "GROUP BY node) "
+    "SELECT c.node AS doc_id, c.canonical_id, g.group_size "
+    "FROM comp c JOIN (SELECT canonical_id, count(*) AS group_size "
+    "FROM comp GROUP BY 1) g USING (canonical_id)"
+)
+
+
+def _q_lsh_dup_candidates(spark, sf):
+    """Production 128-perm x 16-band LSH candidate pairs (xxhash64
+    universal-hash family — not SQL-twinnable, rows-only check)."""
+    return dedup.lsh_candidate_pairs(
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    )
+
+
+QUERIES["duplicate_groups"] = (_q_duplicate_groups, _SQL_DUPLICATE_GROUPS)
+QUERIES["lsh_dup_candidates"] = (_q_lsh_dup_candidates, None)
