@@ -41,9 +41,11 @@ def test_streaming_checkpoint_no_reprocess(spark, pages_parquet,
 
 @pytest.fixture(scope="module")
 def media_df(spark):
+    from westa_ocr_spark.operators.multimodal import write_jpeg, write_png
+
     rows = [
-        ("u1", b"\xff\xd8\xff\xe0" + b"j" * 400),      # jpeg-ish
-        ("u2", b"\x89PNG\r\n\x1a\n" + b"p" * 300),     # png-ish
+        ("u1", write_jpeg(320, 240)),                   # real jpeg
+        ("u2", write_png(17, 43)),                      # real png
         ("u3", b""),                                     # empty -> error
         ("u4", b"RIFF....WAVE" + b"a" * 100),           # riff
     ]
@@ -70,12 +72,40 @@ def test_image_features_deterministic_stub(spark, media_df):
            extract_image_features(media_df).collect()}
     assert out["u1"]["status"] == "DONE"
     assert out["u1"]["kind"] == "jpeg"
+    # round 2: TRUE dimensions from the SOF/IHDR headers
+    assert (out["u1"]["width"], out["u1"]["height"]) == (320, 240)
+    assert (out["u2"]["width"], out["u2"]["height"]) == (17, 43)
     assert len(out["u1"]["feature"]) == 16
     assert out["u3"]["status"] == "ERROR"
+    assert out["u4"]["status"] == "ERROR"  # riff: unsupported kind
     # determinism
     out2 = {r["url"]: r.asDict() for r in
             extract_image_features(media_df).collect()}
     assert out == out2
+
+
+def test_parse_image_dimensions_corrupt_and_gif():
+    import pytest as _pytest
+
+    from westa_ocr_spark.operators.multimodal import (
+        parse_image_dimensions,
+        write_gif,
+        write_jpeg,
+        write_png,
+    )
+
+    assert parse_image_dimensions(write_gif(12, 34)) == ("gif", 12, 34)
+    assert parse_image_dimensions(write_png(1, 1)) == ("png", 1, 1)
+    assert parse_image_dimensions(write_jpeg(65535, 2)) == (
+        "jpeg", 65535, 2)
+    # corrupt: PNG magic but garbage chunk
+    with _pytest.raises(ValueError):
+        parse_image_dimensions(b"\x89PNG\r\n\x1a\n" + b"p" * 32)
+    # corrupt: JPEG SOI but no SOF before data runs out
+    with _pytest.raises(ValueError):
+        parse_image_dimensions(b"\xff\xd8\xff\xe0" + b"j" * 40)
+    with _pytest.raises(ValueError):
+        parse_image_dimensions(b"RIFF....WAVE")
 
 
 def test_frame_sampling_fanout(spark, media_df):

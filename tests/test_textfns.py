@@ -87,3 +87,45 @@ def test_rolling_fingerprints(spark):
     assert len(vals[0]) == 5   # 12 - 8 + 1
     assert len(vals[1]) == 1   # short doc -> one (short) window
     assert len(set(vals[0])) == 5  # all distinct
+
+
+def test_lang_id_twelve_languages(spark):
+    """Round 2: >=10 languages x >=8 markers — each sample sentence in
+    its own language must classify correctly (non-trivial split)."""
+    from westa_ocr_spark.functions.textfns import (
+        _LANG_STOPWORDS,
+        with_lang_id,
+    )
+
+    assert len(_LANG_STOPWORDS) >= 10
+    assert all(len(ws) >= 8 for ws in _LANG_STOPWORDS.values())
+
+    samples = {
+        "en": "the cat sat on the mat and looked at the dog that ran",
+        "de": "der hund und die katze sind nicht in das haus mit mir",
+        "fr": "le chat et les chiens sont dans une maison pour toujours",
+        "es": "el perro y los gatos corren para la casa con una pelota",
+        "it": "il cane e il gatto che corrono per la casa sono anche qui",
+        "pt": "o cachorro de estimação que corre em casa para brincar com uma bola",
+        "nl": "de hond en het paard van een boer niet met voor altijd",
+        "sv": "hunden och katten att det som springer en katt av inte har",
+        "pl": "pies i kot nie jest na drzewie to do domu z nami",
+        "ru": "собака и кошка не бегут на дерево что это как по дороге",
+        "ja": "これは日本語のテストです。犬は家にいます。猫を見ました。",
+        "zh": "这是一个中文测试的句子我们在这里有很多人不是吗",
+    }
+    df = spark.createDataFrame(list(samples.items()), ["want", "text"])
+    got = {
+        r["want"]: r["lang_id"]
+        for r in with_lang_id(df, "text").collect()
+    }
+    assert got == {lang: lang for lang in samples}
+
+
+def test_lang_id_und_for_no_markers(spark):
+    from westa_ocr_spark.functions.textfns import lang_id
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("xyzzy qwerty",), ("",)], ["text"])
+    rows = df.select(lang_id(F.col("text")).alias("l")).collect()
+    assert [r["l"] for r in rows] == ["und", "und"]

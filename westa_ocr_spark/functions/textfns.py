@@ -37,11 +37,34 @@ def _count_occurrences(col: Column, needle: str) -> Column:
     ).cast("long")
 
 
+# Stopword/function-word profiles, 12 languages x 8 markers. Entries
+# carry their own padding: space-delimited scripts pad " word " so only
+# whole words count; CJK entries are unpadded substrings (no word
+# boundaries in those scripts). The same table generates the DuckDB
+# oracle twin in the registry, so both sides move together.
 _LANG_STOPWORDS = {
-    "en": [" the ", " and "],
-    "de": [" der ", " und "],
-    "fr": [" le ", " et "],
-    "es": [" el ", " y "],
+    "en": [" the ", " and ", " of ", " to ", " in ", " is ", " that ",
+           " for "],
+    "de": [" der ", " und ", " die ", " das ", " nicht ", " ist ",
+           " ein ", " mit "],
+    "fr": [" le ", " et ", " les ", " des ", " une ", " dans ", " est ",
+           " pour "],
+    "es": [" el ", " y ", " los ", " las ", " una ", " para ", " con ",
+           " por "],
+    "it": [" il ", " e ", " di ", " che ", " per ", " della ", " sono ",
+           " anche "],
+    "pt": [" o ", " de ", " que ", " em ", " para ", " com ", " uma ",
+           " os "],
+    "nl": [" de ", " het ", " en ", " van ", " een ", " niet ", " met ",
+           " voor "],
+    "sv": [" och ", " att ", " det ", " som ", " en ", " av ", " inte ",
+           " har "],
+    "pl": [" i ", " w ", " nie ", " na ", " jest ", " do ", " to ",
+           " z "],
+    "ru": [" и ", " в ", " не ", " на ", " что ", " это ", " как ",
+           " по "],
+    "ja": ["の", "は", "に", "を", "です", "ます", "した", "こと"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我"],
 }
 
 
@@ -54,25 +77,58 @@ def lang_scores(col: Column) -> dict[str, Column]:
     }
 
 
-def lang_id(col: Column) -> Column:
-    """N-gram/stopword-heuristic language ID (argmax, ties -> 'und')."""
+def lang_best_struct(col: Column) -> Column:
+    """argmax over language scores as ONE array_max expression.
+
+    Each struct is (score, -rank) with langs in sorted order, so the
+    lexicographic struct max picks the highest score and breaks ties
+    toward the alphabetically smallest language. Every score
+    expression appears exactly once — with 12 languages x 8 markers a
+    per-branch CASE (the 4-language round-1 shape) would replicate the
+    96 occurrence counters into every comparison.
+    """
     scores = lang_scores(col)
-    best = None
-    for lang, score in scores.items():
-        cond = F.lit(True)
-        for other, oscore in scores.items():
-            if other == lang:
-                continue
-            # strict ordering by (score, lang) makes the argmax total
-            cond = cond & (
-                (score > oscore)
-                | ((score == oscore) & (F.lit(lang) < F.lit(other)))
-            )
-        branch = F.when(cond & (score > 0), F.lit(lang))
-        best = branch if best is None else best.when(
-            cond & (score > 0), F.lit(lang)
+    langs = sorted(scores)
+    return F.array_max(
+        F.array(
+            *[
+                F.struct(scores[lang].alias("s"), F.lit(-i).alias("r"))
+                for i, lang in enumerate(langs)
+            ]
         )
-    return F.coalesce(best, F.lit("und"))
+    )
+
+
+def lang_from_best(best: Column) -> Column:
+    """Decode the (score, -rank) argmax struct to a language code."""
+    langs = sorted(_LANG_STOPWORDS)
+    return F.when(
+        best["s"] > 0,
+        F.element_at(
+            F.array(*[F.lit(lang) for lang in langs]), -best["r"] + 1
+        ),
+    ).otherwise(F.lit("und"))
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-heuristic language ID (argmax; all-zero -> 'und').
+
+    Compact single-expression form: the argmax struct is evaluated
+    once per reference (twice here). For wide scans prefer
+    :func:`with_lang_id`, which stages the struct as its own
+    projection so the 96 occurrence counters run exactly once per row.
+    """
+    return lang_from_best(lang_best_struct(col))
+
+
+def with_lang_id(df, text_col: str, out_col: str = "lang_id"):
+    """Staged language ID: adds ``out_col`` to ``df`` (the scale path)."""
+    staged = df.select(
+        "*", lang_best_struct(F.col(text_col)).alias("_lang_best")
+    )
+    return staged.select(
+        *df.columns, lang_from_best(F.col("_lang_best")).alias(out_col)
+    )
 
 
 def token_count(col: Column) -> Column:

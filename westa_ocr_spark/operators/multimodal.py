@@ -3,35 +3,34 @@
 Images/audio/video ride as ``binary`` columns with a struct of typed
 metadata, processed by Arrow-batched ``mapInPandas`` stages — the same
 plumbing as HTML/PDF extraction (schema, partitioning, batch shape are
-real and tested). The codec step itself is STUBBED: the decode
-libraries (PIL/ffmpeg/librosa) are not in this container, so
-``decode_image``/``sample_frames``/``extract_audio_features`` run a
-clearly-marked deterministic fake unless the real library imports
-(gated behind try/except). Swapping in the real codec changes ONE
-function body, none of the Spark plumbing.
+real and tested).
 
-Magic-byte sniffing (media_kind) is real; so are batch shapes, schema
-contracts, and the skew story (oversized media uses the same
-skew_split as oversized HTML).
+What's REAL here (round 2): magic-byte sniffing, and true image
+dimensions parsed from the container headers — PNG IHDR, JPEG SOF
+segment walk, GIF logical-screen descriptor — all pure stdlib
+(:func:`parse_image_dimensions`), plus matching deterministic writers
+(:func:`write_png` emits correct CRCs and a zlib IDAT). What's still
+STUBBED: the pixel-level decode + embedding model behind ``feature``
+(PIL/ffmpeg are not in this container) — a clearly-marked sha256 fake
+(:func:`_fake_features`); swapping in the real model changes ONE
+function body, none of the Spark plumbing. ``sample_frames`` likewise
+fakes the codec with a byte-slice while keeping the 1-row->N-frames
+fan-out contract real.
+
+The skew story matches HTML: oversized media uses the same skew_split.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-try:  # pragma: no cover - not present in this container
-    from PIL import Image  # noqa: F401
-
-    _HAVE_PIL = True
-except Exception:
-    _HAVE_PIL = False
-
 
 def media_kind(col: F.Column) -> F.Column:
     """Sniff media type from magic bytes (JVM-side, codegen'd)."""
@@ -64,29 +63,144 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 _FEATURE_DIM = 16
 
 
-def _fake_decode(data: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic stand-in for image decode + feature extraction.
+# --------------------------------------------------------------------------
+# Real image-container header parsing (pure stdlib) + matching writers
 
-    Derives (width, height, feature[16]) from a sha256 of the bytes —
-    stable across runs/machines, so the plumbing is testable without
-    the codec. Replace with PIL decode + model features in production.
+
+def parse_image_dimensions(data: bytes) -> tuple[str, int, int]:
+    """(kind, width, height) from real container headers.
+
+    * PNG: signature + first chunk must be IHDR; width/height are the
+      first 8 bytes of its payload (big-endian).
+    * JPEG: walk the marker segments from SOI; the first SOF frame
+      header (C0–CF except DHT C4 / JPGext C8 / DAC CC) carries
+      (precision, height, width).
+    * GIF: GIF87a/GIF89a logical screen descriptor (little-endian).
+
+    Raises ``ValueError`` for unknown or structurally corrupt payloads
+    (-> per-row ERROR capture, same contract as text extraction).
     """
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(data) < 24 or data[12:16] != b"IHDR":
+            raise ValueError("corrupt PNG (first chunk is not IHDR)")
+        w, h = struct.unpack(">II", data[16:24])
+        if not (0 < w < 1 << 24 and 0 < h < 1 << 24):
+            raise ValueError("corrupt PNG (absurd IHDR dimensions)")
+        return "png", w, h
+    if data[:2] == b"\xff\xd8":
+        pos = 2
+        n = len(data)
+        while pos + 4 <= n:
+            if data[pos] != 0xFF:
+                raise ValueError("corrupt JPEG (lost marker sync)")
+            marker = data[pos + 1]
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers carry no length
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            if seglen < 2 or pos + 2 + seglen > n:
+                raise ValueError("corrupt JPEG (segment overruns data)")
+            is_sof = 0xC0 <= marker <= 0xCF and marker not in (
+                0xC4, 0xC8, 0xCC
+            )
+            if is_sof:
+                if seglen < 7:
+                    raise ValueError("corrupt JPEG (short SOF)")
+                h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+                if w == 0 or h == 0:
+                    raise ValueError("corrupt JPEG (zero SOF dimension)")
+                return "jpeg", w, h
+            if marker == 0xDA:  # SOS: entropy data follows, stop
+                break
+            pos += 2 + seglen
+        raise ValueError("corrupt JPEG (no SOF frame header)")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        if len(data) < 10:
+            raise ValueError("corrupt GIF (truncated descriptor)")
+        w, h = struct.unpack("<HH", data[6:10])
+        if w == 0 or h == 0:
+            raise ValueError("corrupt GIF (zero dimension)")
+        return "gif", w, h
+    raise ValueError("unsupported media kind (not png/jpeg/gif)")
+
+
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + typ
+        + payload
+        + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+    )
+
+
+def write_png(width: int, height: int) -> bytes:
+    """Real minimal grayscale PNG (correct CRCs, zlib IDAT) with
+    deterministic content derived from the dimensions."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((x * 31 + y * 17) % 256 for x in range(width))
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def write_jpeg(width: int, height: int) -> bytes:
+    """Structurally valid grayscale baseline JPEG: SOI, JFIF APP0,
+    SOF0 with the given dimensions, SOS, deterministic entropy bytes
+    (0xFF-free), EOI."""
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    )
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 11, 8, height, width, 1)
+        + b"\x01\x11\x00"
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    entropy = bytes((width * 13 + height * 7 + i) % 255 for i in range(32))
+    return b"\xff\xd8" + app0 + sof0 + sos + entropy + b"\xff\xd9"
+
+
+def write_gif(width: int, height: int) -> bytes:
+    """GIF89a header + logical screen descriptor + trailer."""
+    return (
+        b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00;"
+    )
+
+
+def _fake_features(data: bytes) -> list[float]:
+    """Deterministic stand-in for the pixel-decode + embedding model
+    (PIL is absent here): feature[16] from a sha256 of the bytes —
+    stable across runs/machines. Replace with a real model in
+    production; dimensions above are already real."""
     digest = hashlib.sha256(data).digest()
-    width = 64 + digest[0] * 4
-    height = 64 + digest[1] * 4
-    feature = [
+    return [
         int.from_bytes(digest[2 * i : 2 * i + 2], "big") / 65535.0
         for i in range(_FEATURE_DIM)
     ]
-    return width, height, feature
 
 
 def extract_image_features(media: DataFrame, url_col: str = "url",
                            data_col: str = "data") -> DataFrame:
-    """Arrow-batched image decode + feature extraction over binary rows.
+    """Arrow-batched image metadata + feature extraction over binary rows.
 
-    Per-row error capture mirrors the extraction pipeline: a payload
-    the decoder rejects becomes a ``status='ERROR'`` row.
+    Width/height come from real header parsing
+    (:func:`parse_image_dimensions`); the embedding is the documented
+    sha256 stub. Per-row error capture mirrors the extraction
+    pipeline: unknown or corrupt payloads become ``status='ERROR'``
+    rows, never task failures.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -106,17 +220,13 @@ def extract_image_features(media: DataFrame, url_col: str = "url",
                 try:
                     if not data:
                         raise ValueError("empty payload")
-                    if data[:3] == b"\xff\xd8\xff":
-                        row["kind"] = "jpeg"
-                    elif data[:4] == b"\x89PNG":
-                        row["kind"] = "png"
-                    if _HAVE_PIL:  # pragma: no cover - real codec path
-                        raise NotImplementedError(
-                            "real PIL decode not wired in this build"
-                        )
-                    w, h, feat = _fake_decode(bytes(data))
-                    row.update(width=w, height=h, feature=feat)
-                except (ValueError, NotImplementedError) as exc:
+                    blob = bytes(data)
+                    kind, w, h = parse_image_dimensions(blob)
+                    row.update(
+                        kind=kind, width=w, height=h,
+                        feature=_fake_features(blob),
+                    )
+                except ValueError as exc:
                     row.update(status="ERROR", error=f"decode: {exc}")
                 out.append(row)
             yield pd.DataFrame(

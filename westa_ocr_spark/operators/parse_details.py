@@ -26,6 +26,30 @@ PAGE_DELIM = r"--- PAGE [0-9]+ ---"
 NON_ORDER_SENTINEL = "このページは注文書ではありません。"
 MIN_DETAIL_COLUMNS = 15
 
+# The 15 named detail fields, in CSV position order — romanized from the
+# reference's parseMultiPageDataFromLLM mapping
+# (/root/reference/docs/google_apps_script_reference.md:373-396):
+# 受注伝票番号, 納入場所, 得意先, 得意先注文番号, 受注日, 出荷予定日,
+# 顧客納期, 得意先品目コード, 自社品目コード, 受注商品名称, 受注数,
+# 単位, 受注単価, 納品書記事, 受注記事.
+DETAIL_FIELDS = [
+    "order_slip_no",
+    "delivery_place",
+    "customer",
+    "customer_order_no",
+    "order_date",
+    "ship_date",
+    "customer_due_date",
+    "customer_item_code",
+    "item_code",
+    "product_name",
+    "quantity",
+    "unit",
+    "unit_price",
+    "delivery_note",
+    "order_note",
+]
+
 
 def split_pages(raw: F.Column) -> F.Column:
     """X1: page blocks with blanks dropped (renumbered after filter)."""
@@ -39,7 +63,18 @@ def parse_detail_rows(df: DataFrame, id_col: str, raw_col: str) -> DataFrame:
 
     Output: (id, page_no [1-based after blank-drop], tokusaki,
     juchu_date, chumon_bango, is_non_order, row_no, n_fields,
-    f1..f5).
+    plus the 15 named detail fields of ``DETAIL_FIELDS``).
+
+    Documented divergences from the reference parser (by design):
+
+    * non-order-sentinel pages are still header/detail-parsed and only
+      FLAGGED via ``is_non_order`` — consumers that want the
+      reference's skip behavior filter ``~is_non_order`` (keeping the
+      flag preserves lineage for audit);
+    * header-only pages (``【得意先】`` present but zero >=15-column
+      detail rows) emit no rows HERE — per-page header extraction is
+      its own operator (registry ``regex_header_extract``), so header
+      data is not lost, it just lives on the page-grain output.
     """
     pages = df.select(
         F.col(id_col).alias("id"),
@@ -96,8 +131,8 @@ def parse_detail_rows(df: DataFrame, id_col: str, raw_col: str) -> DataFrame:
             (F.col("row_pos") + 1).alias("row_no"),
             F.size("cells").alias("n_fields"),
             *[
-                F.element_at("cells", i + 1).alias(f"f{i + 1}")
-                for i in range(MIN_DETAIL_COLUMNS)
+                F.element_at("cells", i + 1).alias(name)
+                for i, name in enumerate(DETAIL_FIELDS)
             ],
         )
         .drop("line", "cells", "row_pos")

@@ -62,20 +62,26 @@ def _sql_lang_scores(col: str) -> dict[str, str]:
     }
 
 
-def _sql_lang_id(col: str) -> str:
+def _sql_lang_best(col: str) -> str:
+    """DuckDB twin of textfns.lang_best_struct: list_max of
+    (score, -rank) structs — lexicographic struct compare, ties to the
+    alphabetically smallest language."""
     scores = _sql_lang_scores(col)
-    branches = []
-    for lang, s in scores.items():
-        conds = [f"({s}) > 0"]
-        for other, so in scores.items():
-            if other == lang:
-                continue
-            conds.append(
-                f"((({s}) > ({so})) or ((({s}) = ({so})) and "
-                f"('{lang}' < '{other}')))"
-            )
-        branches.append(f"when {' and '.join(conds)} then '{lang}'")
-    return f"case {' '.join(branches)} else 'und' end"
+    langs = sorted(scores)
+    items = ", ".join(
+        f"struct_pack(s := ({scores[lang]}), r := {-i})"
+        for i, lang in enumerate(langs)
+    )
+    return f"list_max([{items}])"
+
+
+def _sql_lang_from_best(best: str) -> str:
+    langs = sorted(textfns._LANG_STOPWORDS)
+    arr = "[" + ", ".join(f"'{lang}'" for lang in langs) + "]"
+    return (
+        f"case when ({best}).s > 0 then ({arr})[-(({best}).r) + 1] "
+        "else 'und' end"
+    )
 
 
 def _sql_token_count(col: str) -> str:
@@ -566,16 +572,17 @@ def _q_csv_detail_parse(spark, sf):
         .select(
             "doc_id",
             F.size("cells").cast("long").alias("n_fields"),
-            F.element_at("cells", 1).alias("f1"),
-            F.element_at("cells", 2).alias("f2"),
-            F.element_at("cells", 15).alias("f15"),
+            F.element_at("cells", 1).alias("order_slip_no"),
+            F.element_at("cells", 2).alias("delivery_place"),
+            F.element_at("cells", 15).alias("order_note"),
         )
     )
 
 
 _SQL_CSV_DETAIL_PARSE = (
-    "SELECT doc_id, len(cells) AS n_fields, cells[1] AS f1, "
-    "cells[2] AS f2, cells[15] AS f15 FROM (SELECT doc_id, "
+    "SELECT doc_id, len(cells) AS n_fields, cells[1] AS order_slip_no, "
+    "cells[2] AS delivery_place, cells[15] AS order_note FROM "
+    "(SELECT doc_id, "
     "list_transform(string_split(regexp_replace(text, ' ', ',', 'g'), ','),"
     " x -> trim(x)) AS cells FROM documents WHERE doc_id < 300) "
     "WHERE len(cells) >= 15"
@@ -725,7 +732,14 @@ WITH src AS (
 )
 SELECT doc_id AS id, page_no, is_non_order, tokusaki, juchu_date,
        chumon_bango, row_no, cast(len(cells) AS int) AS n_fields,
-       cells[1] AS f1, cells[2] AS f2, cells[3] AS f3, cells[4] AS f4, cells[5] AS f5, cells[6] AS f6, cells[7] AS f7, cells[8] AS f8, cells[9] AS f9, cells[10] AS f10, cells[11] AS f11, cells[12] AS f12, cells[13] AS f13, cells[14] AS f14, cells[15] AS f15
+       cells[1] AS order_slip_no, cells[2] AS delivery_place,
+       cells[3] AS customer, cells[4] AS customer_order_no,
+       cells[5] AS order_date, cells[6] AS ship_date,
+       cells[7] AS customer_due_date, cells[8] AS customer_item_code,
+       cells[9] AS item_code, cells[10] AS product_name,
+       cells[11] AS quantity, cells[12] AS unit,
+       cells[13] AS unit_price, cells[14] AS delivery_note,
+       cells[15] AS order_note
 FROM lines WHERE len(cells) >= 15
 """
 
@@ -736,15 +750,16 @@ FROM lines WHERE len(cells) >= 15
 def _q_lang_id(spark, sf):
     docs = _t(spark, sf, "documents")
     return (
-        docs.select(textfns.lang_id(F.col("text")).alias("lang_id"))
+        textfns.with_lang_id(docs.select("text"), "text")
         .groupBy("lang_id")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
 
 _SQL_LANG_ID = (
-    f"SELECT {_sql_lang_id('text')} AS lang_id, count(*) AS n_docs "
-    "FROM documents GROUP BY 1"
+    "SELECT lang_id, count(*) AS n_docs FROM ("
+    f"SELECT {_sql_lang_from_best('best')} AS lang_id FROM ("
+    f"SELECT {_sql_lang_best('text')} AS best FROM documents)) GROUP BY 1"
 )
 
 
@@ -1623,17 +1638,35 @@ QUERIES.update(
 # inputs synthesized deterministically from the documents table)
 
 def _media_df(spark, sf):
+    """Synthetic media table: REAL png/jpeg/gif bytes (round 2 —
+    correct CRCs, SOF segments, screen descriptors) with dimensions
+    derived from doc_id, plus a garbage leg for the ERROR path."""
+    from westa_ocr_spark.operators import multimodal as mm
+
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    magic = (
-        F.when(F.col("doc_id") % 3 == 0,
-               F.lit(bytes([0xFF, 0xD8, 0xFF, 0xE0])))
-        .when(F.col("doc_id") % 3 == 1, F.lit(b"\x89PNG\r\n\x1a\n"))
-        .otherwise(F.lit(b""))
-    )
-    return docs.select(
-        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
-        F.concat(magic, F.encode("text", "utf-8")).alias("data"),
-    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 16 + i % 32, 16 + (i * 7) % 32
+                if i % 4 == 0:
+                    blob = mm.write_jpeg(w, h)
+                elif i % 4 == 1:
+                    blob = mm.write_png(w, h)
+                elif i % 4 == 2:
+                    blob = mm.write_gif(w, h)
+                else:
+                    blob = b"not an image " + str(i).encode()
+                urls.append(f"doc://{i}")
+                blobs.append(blob)
+            yield pd.DataFrame({"url": urls, "data": blobs})
+
+    schema = "url string, data binary"
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
 
 
 def _q_media_features(spark, sf):
