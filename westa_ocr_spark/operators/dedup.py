@@ -221,21 +221,27 @@ def simhash16_df(docs: DataFrame, id_col: str = "doc_id",
 
     Per word: a 16-bit hash from the first two bytes of md5 (portable
     ascii arithmetic); per bit: +1/-1 vote weighted by word count;
-    simhash bit = majority. The word-hash array is staged as its own
-    projection so the md5 work runs once, not 16x (once per bit
-    expression).
+    simhash bit = majority. Staged in TWO projection steps: the md5
+    array first (higher-order-function lambdas re-evaluate referenced
+    expressions per use, so one ``F.md5(w)`` serving both substrings
+    would hash every word twice), then the word-hash array, so the
+    md5 work runs once — not 2x per word, not 16x per bit expression.
     """
     words = F.filter(
         F.split(normalize_text(F.col(text_col)), " "),
         lambda w: F.length(w) > 0,
     )
-    staged = docs.select(
+    md5s = docs.select(
         F.col(id_col).alias("doc_id"),
+        F.transform(words, F.md5).alias("_md5s"),
+    )
+    staged = md5s.select(
+        "doc_id",
         F.transform(
-            words,
-            lambda w: (
-                F.ascii(F.substring(F.md5(w), 1, 1)) * 256
-                + F.ascii(F.substring(F.md5(w), 2, 1))
+            F.col("_md5s"),
+            lambda m: (
+                F.ascii(F.substring(m, 1, 1)) * 256
+                + F.ascii(F.substring(m, 2, 1))
             ),
         ).alias("_hashes"),
     )

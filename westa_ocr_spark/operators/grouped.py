@@ -35,14 +35,18 @@ def normalize_quality_per_group(docs: DataFrame, group_col: str,
     )
 
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         vals = pdf[value_col].astype("float64")
         # sort before reducing so the summation order (and thus the
         # float result) is independent of partition arrival order
         ordered = vals.sort_values().to_numpy()
         mean = ordered.mean()
-        std = ordered.std() or 1.0
+        std = ordered.std() or 1.0  # population std; 0 -> 1.0
         out = pdf[["doc_id", group_col, value_col]].copy()
-        out["zscore"] = ((vals - mean) / std).round(6)
+        # round_det formula (floor(x*1e6 + 0.5)/1e6), NOT np.round:
+        # half-to-even would diverge from the SQL-side oracle rounding
+        out["zscore"] = np.floor((vals - mean) / std * 1e6 + 0.5) / 1e6
         return out
 
     return docs.select("doc_id", group_col, value_col).groupBy(

@@ -1744,9 +1744,9 @@ _SQL_VALUE_QUANTILES = (
 
 
 def _q_group_zscore(spark, sf):
-    # grouped applyInPandas (vectorized per-group normalization) —
-    # rows-only (the pandas path is the point; values verified by the
-    # operator's unit test)
+    # grouped applyInPandas (vectorized per-group normalization) with
+    # a real DuckDB oracle: both sides use population std, std==0 -> 1,
+    # and the round_det half-up rounding, so values match to 6 dp
     from westa_ocr_spark.operators.grouped import (
         normalize_quality_per_group,
     )
@@ -1757,10 +1757,20 @@ def _q_group_zscore(spark, sf):
     return normalize_quality_per_group(docs, "lang", "n_chars")
 
 
+_SQL_GROUP_ZSCORE = (
+    "WITH stats AS (SELECT lang, avg(cast(n_chars AS double)) AS a, "
+    "coalesce(nullif(stddev_pop(cast(n_chars AS double)), 0.0), 1.0) AS s "
+    "FROM documents GROUP BY 1) "
+    "SELECT d.doc_id, d.lang, cast(d.n_chars AS double) AS n_chars, "
+    + _sql_round_det("(cast(d.n_chars AS double) - st.a) / st.s", 6)
+    + " AS zscore FROM documents d JOIN stats st USING (lang)"
+)
+
+
 QUERIES.update(
     {
         "value_quantiles": (_q_value_quantiles, _SQL_VALUE_QUANTILES),
-        "group_zscore": (_q_group_zscore, None),
+        "group_zscore": (_q_group_zscore, _SQL_GROUP_ZSCORE),
     }
 )
 
@@ -1848,3 +1858,26 @@ def _q_lsh_dup_candidates(spark, sf):
 
 QUERIES["duplicate_groups"] = (_q_duplicate_groups, _SQL_DUPLICATE_GROUPS)
 QUERIES["lsh_dup_candidates"] = (_q_lsh_dup_candidates, None)
+
+
+# ---------------------------------------------------------------------------
+# Streaming parity: the drained complete-mode stream equals the batch
+# aggregate, so the streaming surface gets a real DuckDB oracle row.
+
+def _q_stream_windowed_counts(spark, sf):
+    from westa_ocr_spark.streaming.stream_pipeline import (
+        windowed_counts_complete,
+    )
+
+    return windowed_counts_complete(
+        spark, _t(spark, sf, "events").select("ts", "event_type")
+    )
+
+
+_SQL_STREAM_WINDOWED_COUNTS = (
+    "SELECT cast(floor(epoch(ts) / 600) * 600 AS bigint) AS window_start, "
+    "event_type, count(*) AS n FROM events GROUP BY 1, 2"
+)
+
+QUERIES["stream_windowed_counts"] = (
+    _q_stream_windowed_counts, _SQL_STREAM_WINDOWED_COUNTS)

@@ -124,3 +124,78 @@ def start_extraction_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_counts_complete(
+    spark: SparkSession,
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_minutes: int = 10,
+    n_files: int = 4,
+) -> DataFrame:
+    """Batch-equivalence proof for streaming windowed counts.
+
+    Stages ``events`` as ``n_files`` parquet files, streams them back
+    one file per micro-batch (so aggregation state genuinely crosses
+    batch boundaries), and aggregates tumbling-window counts in
+    COMPLETE mode into a memory sink. Unlike the watermarked append
+    pipeline (:func:`start_windowed_counts_stream` — the production
+    shape, which trades completeness of trailing windows for bounded
+    state), complete mode re-emits the full aggregate each trigger, so
+    the drained result equals the batch ``groupBy(window, key)``
+    EXACTLY — which is what lets the DuckDB oracle verify the
+    streaming surface (registry ``stream_windowed_counts``).
+
+    Output: (window_start epoch-seconds, key, n) — epoch longs so the
+    oracle compare is exact across engines.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    tag = uuid.uuid4().hex[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"wstream_{tag}")
+    src = events.select(
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(key_col).alias("key"),
+    )
+    src.repartition(n_files).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    agg = (
+        stream.groupBy(
+            F.window("ts", f"{window_minutes} minutes").alias("win"),
+            "key",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"wcounts_{tag}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table(name)
+        .select(
+            F.col("win.start").cast("long").alias("window_start"),
+            F.col("key").alias(key_col),
+            "n",
+        )
+        # the memory sink is session-lived; materialize rows so the
+        # staged files can be deleted before returning
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
