@@ -37,6 +37,8 @@ HEADLINE = [
     "minhash_signatures",
     "ngram_jaccard",
     "simhash64",
+    "lsh_dup_candidates",
+    "duplicate_groups",
     "embedding_topk",
     "embedding_knn",
     "parse_details",

@@ -16,10 +16,28 @@ if [[ "${1:-}" == "--master" ]]; then
   MASTER="$2"; shift 2
 fi
 
+# Iceberg sink (optional): point ICEBERG_JAR at the
+# iceberg-spark-runtime jar to enable the MERGE INTO keyed sink
+# (sources/tables.py IcebergTable — selected automatically once an
+# iceberg catalog is configured; contract-tested in
+# tests/test_tables.py since no jar ships in this sandbox). Without
+# it the parquet-directory fallback runs.
+ICEBERG_ARGS=()
+if [[ -n "${ICEBERG_JAR:-}" ]]; then
+  ICEBERG_ARGS=(
+    --jars "$ICEBERG_JAR"
+    --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions
+    --conf spark.sql.catalog.spark_catalog=org.apache.iceberg.spark.SparkSessionCatalog
+    --conf spark.sql.catalog.spark_catalog.type="${ICEBERG_CATALOG_TYPE:-hadoop}"
+    --conf spark.sql.catalog.spark_catalog.warehouse="${ICEBERG_WAREHOUSE:-/tmp/iceberg_wh}"
+  )
+fi
+
 exec spark-submit \
   --master "$MASTER" \
   --py-files "$ZIP" \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \
   --conf spark.sql.execution.arrow.maxRecordsPerBatch=256 \
+  "${ICEBERG_ARGS[@]}" \
   "$REPO/scripts/run_pipeline.py" "$@"

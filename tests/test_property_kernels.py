@@ -57,3 +57,56 @@ def test_html_spans_reconstruct_text(soup):
     raw = text.encode("utf-8")
     parts = [raw[s["start"]: s["end"]].decode("utf-8") for s in spans]
     assert "\n".join(parts) == text
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(pdf_text, min_size=1, max_size=4),
+    st.sampled_from(
+        [
+            {"compress": True},
+            {"tj_arrays": True},
+            {"compress": True, "tj_arrays": True},
+            {"objstm": True},
+            {"objstm": True, "tj_arrays": True},
+        ]
+    ),
+)
+def test_pdf_roundtrip_all_dialects(pages, kw):
+    """Round 2: every writer dialect (FlateDecode, TJ arrays,
+    object-stream/xref-stream) round-trips arbitrary text."""
+    assert extract_pdf_pages(write_pdf(pages, **kw)) == pages
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=3000))
+def test_pdf_parser_total_on_arbitrary_bytes(data):
+    """The tolerant loader never crashes with anything but ValueError
+    on arbitrary garbage prefixed to look like a PDF."""
+    try:
+        pages = extract_pdf_pages(b"%PDF-1.4\n" + data + b"\n%%EOF\n")
+        assert isinstance(pages, list)
+        assert all(isinstance(p, str) for p in pages)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(pdf_text, min_size=1, max_size=3),
+    st.integers(min_value=0, max_value=10_000),
+    st.binary(min_size=1, max_size=12),
+)
+def test_pdf_parser_total_under_mutation(pages, pos, junk):
+    """Corrupting a valid compressed PDF anywhere yields either a
+    clean parse or ValueError — never another exception type."""
+    pdf = bytearray(write_pdf(pages, compress=True))
+    at = pos % len(pdf)
+    mutated = bytes(pdf[:at]) + junk + bytes(pdf[at:])
+    if not mutated.startswith(b"%PDF-"):
+        mutated = b"%PDF-1.4\n" + mutated
+    try:
+        out = extract_pdf_pages(mutated)
+        assert isinstance(out, list)
+    except ValueError:
+        pass

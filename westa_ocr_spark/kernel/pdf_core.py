@@ -81,8 +81,7 @@ def _parse_name(data: bytes, i: int) -> tuple[Name, int]:
     i += 1  # past '/'
     start = i
     n = len(data)
-    while i < n and data[i : i + 1] not in _WS + _DELIM.replace(b"/", b"") \
-            and data[i : i + 1] != b"/":
+    while i < n and data[i : i + 1] not in _WS + _DELIM:
         i += 1
     raw = data[start:i]
     raw = _NAME_ESC.sub(lambda m: bytes([int(m.group(1), 16)]), raw)

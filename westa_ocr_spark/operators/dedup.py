@@ -121,17 +121,26 @@ def minhash_lsh_buckets(docs: DataFrame, id_col: str = "doc_id",
     """
     sig = minhash_signatures(docs, id_col, text_col)
     per_band = len(MINHASH_SEEDS) // bands
-    bucketed = None
-    for b in range(bands):
-        cols = [f"mh_{b * per_band + j}" for j in range(per_band)]
-        band_df = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *cols)).alias("bucket"),
-        )
-        bucketed = band_df if bucketed is None else bucketed.unionByName(
-            band_df
-        )
+    # ONE explode fan-out, not a union of per-band selects: a union
+    # would re-run the whole signature aggregation once per band
+    # (Spark does not dedupe identical subplans across union branches)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[f"mh_{b * per_band + j}" for j in range(per_band)],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bucketed = sig.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
     return (
         bucketed.groupBy("band", "bucket")
         .agg(
@@ -418,15 +427,36 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     only formed WITHIN buckets, never all-pairs."""
     sig = minhash_signatures_fast(docs, id_col, text_col, num_perm)
     per_band = num_perm // bands
-    band_rows = None
-    for bnd in range(bands):
-        cols = [f"mh_{bnd * per_band + j}" for j in range(per_band)]
-        row = sig.select(
-            "doc_id",
-            F.lit(bnd).alias("band"),
-            F.xxhash64(F.concat_ws("|", *cols)).alias("bucket"),
-        )
-        band_rows = row if band_rows is None else band_rows.unionByName(row)
+    # ONE explode fan-out (see minhash_lsh_buckets): a 16-branch union
+    # would run the 128-min aggregation 16 times. The self-join's two
+    # sides share one canonical subplan, so Spark's ReuseExchange
+    # computes the aggregation + shuffle once.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            f"mh_{bnd * per_band + j}"
+                            for j in range(per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for bnd in range(bands)
+        ]
+    )
+    band_rows = sig.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    # materialize once: the self-join would otherwise recompute the
+    # whole signature aggregation for BOTH sides (measured 2x cost —
+    # AQE did not reuse the exchange across the join's subtrees).
+    # band_rows is tiny relative to the corpus: 16 rows/doc of
+    # (id, int, hash) vs the full text payload.
+    band_rows = band_rows.localCheckpoint(eager=True)
     a, b = band_rows.alias("a"), band_rows.alias("b")
     return (
         a.join(b, on=["band", "bucket"])
