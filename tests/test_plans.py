@@ -80,3 +80,68 @@ def test_extraction_wholestage_codegen_around_scan(spark, pages_parquet):
     )
     assert "*(1)" in plan  # the codegen'd-stage marker
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+# Queries where a nested-loop join is the DESIGNED strategy (broadcast
+# NL of a handful of probe vectors against the embedding table), or
+# whose plan is driven eagerly at construction time (streaming drain /
+# iterative CC), so a static sweep can't inspect them meaningfully.
+_NL_BY_DESIGN = {"embedding_knn", "embedding_topk", "lsh_topk",
+                 "ivf_topk"}
+_EAGER = {"stream_windowed_counts", "duplicate_groups",
+          "lsh_dup_candidates", "extract_pages_job"}
+
+
+def test_no_cartesian_product_in_any_registry_query(spark):
+    """Sweep EVERY registry query's physical plan: no CartesianProduct
+    anywhere, and nested-loop joins only where they are the designed
+    broadcast-probe strategy. A silent optimizer fallback to a
+    cartesian join is the classic 100-TB killer."""
+    from westa_ocr_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, (fn, _) in QUERIES.items():
+        if name in _EAGER:
+            continue
+        plan = _plan(fn(spark, sf))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif ("BroadcastNestedLoopJoin" in plan
+              and name not in _NL_BY_DESIGN):
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, f"bad join strategies: {offenders}"
+
+
+def test_documents_scans_prune_columns(spark):
+    """Column pruning reaches the parquet scan: a projection-only
+    query must not read the full documents schema."""
+    from westa_ocr_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("fingerprints", "lang_id", "token_counts"):
+        plan = _plan(QUERIES[name][0](spark, sf))
+        # every documents reader here needs text (+doc_id at most):
+        # lang/source/n_chars must be pruned out of ReadSchema
+        scan_lines = [
+            ln for ln in plan.splitlines() if "ReadSchema" in ln
+        ]
+        assert scan_lines, f"{name}: no scan in plan?"
+        for ln in scan_lines:
+            assert "n_chars" not in ln, f"{name} reads n_chars: {ln}"
+            assert "source" not in ln, f"{name} reads source: {ln}"
+
+
+def test_lsh_pair_join_is_hash_not_nl(spark):
+    """The LSH candidate self-join must be an equi-join on
+    (band, bucket) — hash-based, never nested-loop."""
+    from westa_ocr_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    plan = _plan(lsh_candidate_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )

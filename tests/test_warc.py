@@ -1,0 +1,82 @@
+"""WARC source: roundtrip, gzip members, Spark ingest, error capture."""
+
+import pytest
+
+from westa_ocr_spark.sources.warc import (
+    parse_warc,
+    read_warc_pages,
+    write_warc,
+)
+
+RECORDS = [
+    {"url": "https://a.example/x", "date": "2025-01-01T00:00:00Z",
+     "html": b"<html><body><p>alpha doc</p></body></html>"},
+    {"url": "https://b.example/y", "date": "2025-01-02T12:30:00Z",
+     "html": b"<html><body><p>beta doc</p></body></html>"},
+]
+
+
+@pytest.mark.parametrize("gz", [True, False], ids=["gzip", "plain"])
+def test_roundtrip(gz):
+    data = write_warc(RECORDS, gzip_members=gz)
+    if gz:
+        assert data[:2] == b"\x1f\x8b"
+    recs = parse_warc(data)
+    assert [r["url"] for r in recs] == [r["url"] for r in RECORDS]
+    assert [r["payload"] for r in recs] == [r["html"] for r in RECORDS]
+    assert all(r["type"] == "response" for r in recs)
+
+
+def test_writer_deterministic():
+    assert write_warc(RECORDS) == write_warc(RECORDS)
+
+
+def test_truncated_raises():
+    data = write_warc(RECORDS, gzip_members=False)
+    # cut inside the second record's header section
+    second = data.index(b"WARC/1.0", 1)
+    with pytest.raises(ValueError):
+        parse_warc(data[: second + 20])
+    # and inside a declared Content-Length block
+    body_at = data.index(b"alpha doc")
+    with pytest.raises(ValueError):
+        parse_warc(data[: body_at - 2])
+
+
+def test_spark_ingest_and_extract(spark, tmp_path):
+    """binaryFile scan -> parse -> rows feed the extraction operator
+    unchanged (the WARC->Iceberg materialization path)."""
+    from pyspark.sql import functions as F
+
+    from westa_ocr_spark.operators.extract import extract_pages
+
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    (wdir / "seg-0.warc.gz").write_bytes(write_warc(RECORDS))
+    (wdir / "seg-1.warc.gz").write_bytes(
+        write_warc(
+            [{"url": "https://c.example/z",
+              "date": "2025-02-03T08:00:00Z",
+              "html": b"<html><body><p>gamma doc</p></body></html>"}]
+        )
+    )
+    (wdir / "seg-bad.warc.gz").write_bytes(b"\x1f\x8bgarbage not gzip")
+
+    pages = read_warc_pages(spark, str(wdir))
+    rows = {r["url"]: r for r in pages.collect()}
+    ok = [u for u in rows if u is not None]
+    assert sorted(ok) == [
+        "https://a.example/x", "https://b.example/y",
+        "https://c.example/z",
+    ]
+    # corrupt segment -> one visible ERROR row naming the file
+    err = rows[None]
+    assert err["status"] == "ERROR" and "seg-bad" in err["warc_file"]
+    assert rows["https://a.example/x"]["warc_ts"].year == 2025
+
+    extracted = extract_pages(
+        pages.filter(F.col("status") == "OK")
+    ).collect()
+    texts = {r["url"]: r["text"] for r in extracted}
+    assert texts["https://c.example/z"] == "gamma doc"
+    assert all(r["status"] == "DONE" for r in extracted)

@@ -72,9 +72,9 @@ def parse_detail_rows(df: DataFrame, id_col: str, raw_col: str) -> DataFrame:
       reference's skip behavior filter ``~is_non_order`` (keeping the
       flag preserves lineage for audit);
     * header-only pages (``【得意先】`` present but zero >=15-column
-      detail rows) emit no rows HERE — per-page header extraction is
-      its own operator (registry ``regex_header_extract``), so header
-      data is not lost, it just lives on the page-grain output.
+      detail rows) emit no rows HERE — :func:`parse_pages` is the
+      page-grain output that retains them (the reference's
+      ``pageResult`` shape), registered as registry ``parse_pages``.
     """
     pages = df.select(
         F.col(id_col).alias("id"),
@@ -136,4 +136,49 @@ def parse_detail_rows(df: DataFrame, id_col: str, raw_col: str) -> DataFrame:
             ],
         )
         .drop("line", "cells", "row_pos")
+    )
+
+
+def parse_pages(df: DataFrame, id_col: str, raw_col: str) -> DataFrame:
+    """Page-grain parse matching the reference's ``pageResult`` shape.
+
+    One row per non-blank page — INCLUDING header-only pages (zero
+    >=15-column detail rows), which :func:`parse_detail_rows` drops by
+    design; the reference retains them as page entries with an empty
+    detail array (``/root/reference/docs/google_apps_script_reference.md:
+    347-407``). Output: (id, page_no, is_non_order, tokusaki,
+    juchu_date, chumon_bango, n_details).
+    """
+    pages = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(split_pages(F.col(raw_col))).alias("page_pos", "page"),
+    ).select(
+        "id",
+        (F.col("page_pos") + 1).alias("page_no"),
+        F.col("page"),
+    )
+    detail = F.regexp_extract("page", "(?s)【注文明細】(.*)", 1)
+    detail_lines = F.filter(
+        F.split(detail, "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    n_details = F.size(
+        F.filter(
+            detail_lines,
+            lambda ln: F.size(F.split(ln, ",")) >= MIN_DETAIL_COLUMNS,
+        )
+    )
+    return pages.select(
+        "id",
+        "page_no",
+        F.col("page").contains(NON_ORDER_SENTINEL).alias("is_non_order"),
+        F.trim(F.regexp_extract("page", "【得意先】([^\n【]*)", 1)).alias(
+            "tokusaki"
+        ),
+        F.trim(F.regexp_extract("page", "【受注日】([^\n【]*)", 1)).alias(
+            "juchu_date"
+        ),
+        F.trim(
+            F.regexp_extract("page", "【得意先注文番号】([^\n【]*)", 1)
+        ).alias("chumon_bango"),
+        n_details.cast("int").alias("n_details"),
     )

@@ -1881,3 +1881,125 @@ _SQL_STREAM_WINDOWED_COUNTS = (
 
 QUERIES["stream_windowed_counts"] = (
     _q_stream_windowed_counts, _SQL_STREAM_WINDOWED_COUNTS)
+
+
+# ---------------------------------------------------------------------------
+# Page-grain parse (reference pageResult shape: header-only pages kept)
+
+def _q_parse_pages(spark, sf):
+    from westa_ocr_spark.operators.parse_details import parse_pages
+
+    docs = _t(spark, sf, "documents").filter(
+        (F.col("doc_id") < 200)
+        & (F.size(F.split("text", " ")) >= 15)
+    )
+    words = F.split("text", " ")
+    csvline = F.concat_ws(",", F.slice(words, 1, 15))
+    short = F.concat_ws(",", F.slice(words, 1, 5))
+    raw = F.concat(
+        F.lit("--- PAGE 1 ---\n【得意先】"),
+        F.col("source"),
+        F.lit("\n【受注日】2025-01-15\n【注文明細】\n"),
+        csvline,
+        F.lit("\n--- PAGE 2 ---\nこのページは注文書ではありません。"),
+        # header-only page: header present, detail rows all <15 cols —
+        # parse_detail_rows drops it, parse_pages must RETAIN it
+        F.lit("\n--- PAGE 3 ---\n【得意先注文番号】A-77\n【注文明細】\n"),
+        short,
+    )
+    return parse_pages(
+        docs.select("doc_id", raw.alias("raw")), "doc_id", "raw"
+    )
+
+
+_SQL_PARSE_PAGES = """
+WITH src AS (
+  SELECT doc_id,
+         '--- PAGE 1 ---' || chr(10) || '【得意先】' || source || chr(10) ||
+         '【受注日】2025-01-15' || chr(10) || '【注文明細】' || chr(10) ||
+         array_to_string((string_split(text, ' '))[1:15], ',') || chr(10) ||
+         '--- PAGE 2 ---' || chr(10) ||
+         'このページは注文書ではありません。' || chr(10) ||
+         '--- PAGE 3 ---' || chr(10) || '【得意先注文番号】A-77' ||
+         chr(10) || '【注文明細】' || chr(10) ||
+         array_to_string((string_split(text, ' '))[1:5], ',') AS raw
+  FROM documents
+  WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 15
+)
+SELECT doc_id AS id, cast(i AS int) AS page_no,
+       contains(pg, 'このページは注文書ではありません。') AS is_non_order,
+       trim(regexp_extract(pg, '【得意先】([^' || chr(10) || '【]*)', 1))
+         AS tokusaki,
+       trim(regexp_extract(pg, '【受注日】([^' || chr(10) || '【]*)', 1))
+         AS juchu_date,
+       trim(regexp_extract(pg, '【得意先注文番号】([^' || chr(10) ||
+         '【]*)', 1)) AS chumon_bango,
+       cast(len(list_filter(
+         list_filter(string_split(regexp_extract(pg,
+           '(?s)【注文明細】(.*)', 1), chr(10)),
+           x -> length(trim(x)) > 0),
+         ln -> len(string_split(ln, ',')) >= 15)) AS int) AS n_details
+FROM (
+  SELECT doc_id, unnest(blocks) AS pg,
+         generate_subscripts(blocks, 1) AS i
+  FROM (
+    SELECT doc_id, list_filter(
+      string_split_regex(raw, '--- PAGE [0-9]+ ---'),
+      x -> length(trim(x)) > 0) AS blocks
+    FROM src))
+"""
+
+QUERIES["parse_pages"] = (_q_parse_pages, _SQL_PARSE_PAGES)
+
+
+# ---------------------------------------------------------------------------
+# WARC ingest (Common-Crawl source format) — rows-only: the input is
+# synthesized WARC segments, not one of the pre-registered tables.
+
+def _q_warc_ingest(spark, sf):
+    """Synthesize WARC segments from the documents table (one gzip
+    member per record, the CC layout), ingest them back through the
+    binaryFile + mapInPandas source, and extract. Covers the
+    source -> pages -> extraction composition end-to-end."""
+    import os
+    import tempfile
+    import uuid
+
+    from westa_ocr_spark.operators.extract import extract_pages
+    from westa_ocr_spark.sources.warc import read_warc_pages, write_warc
+
+    docs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .collect()
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(), f"warc_q_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    per_seg = 50
+    for seg in range(0, len(docs), per_seg):
+        recs = [
+            {
+                "url": f"https://warc.example/d{r['doc_id']}",
+                "date": "2025-01-01T00:00:00Z",
+                "html": (
+                    "<html><body><p>"
+                    + (r["text"] or "")
+                    + "</p></body></html>"
+                ).encode(),
+            }
+            for r in docs[seg : seg + per_seg]
+        ]
+        with open(os.path.join(stage, f"seg-{seg:05d}.warc.gz"),
+                  "wb") as f:
+            f.write(write_warc(recs))
+    pages = read_warc_pages(spark, stage).filter(F.col("status") == "OK")
+    return extract_pages(pages).select(
+        "url", "page_index", "status", "n_blocks",
+        F.length("text").alias("text_chars"),
+    )
+
+
+QUERIES["warc_ingest"] = (_q_warc_ingest, None)

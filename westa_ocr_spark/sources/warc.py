@@ -1,0 +1,238 @@
+"""WARC source: Common-Crawl-style web-archive files -> pages rows.
+
+The north rule's input is "an Iceberg table of Common-Crawl-style web
+pages"; the upstream format those tables are materialized FROM is
+WARC (ISO 28500) — concatenated records, usually stored as
+per-record gzip members so readers can skip without decompressing the
+whole file. This module provides, pure stdlib:
+
+* :func:`parse_warc` — tolerant parser for plain or member-gzip'd
+  WARC bytes: WARC/1.x record headers, ``Content-Length``-sliced
+  blocks, HTTP response-header stripping for ``response`` records;
+* :func:`write_warc` — deterministic writer used by tests and the
+  synthetic corpus (real gzip members, one per record);
+* :func:`read_warc_pages` — the Spark source: ``binaryFile`` scan of
+  a WARC directory -> Arrow-batched ``mapInPandas`` parse -> rows in
+  the pages schema (url, warc_ts, html, text, lang), ready for
+  ``extract_pages`` or an Iceberg materialization.
+
+Scale notes: one WARC file maps to one input row of the binaryFile
+scan, so parallelism = number of files — exactly how Common Crawl
+shards (tens of thousands of ~1 GiB segments per crawl). Per-record
+gzip membership means memory per task is bounded by one record, not
+one file, when streaming decompression is used (we decompress member
+by member). Malformed records surface as ERROR rows, never task
+failures (the pipeline's per-row error-capture contract).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import gzip
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_CRLF = b"\r\n"
+
+WARC_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("warc_file", T.StringType(), False),
+        T.StructField("record_type", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def _gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress concatenated gzip members one at a time."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            chunk = d.decompress(data[pos:])
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member: {exc}") from exc
+        yield chunk + d.flush()
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+
+
+def _parse_record(chunk: bytes, at: int) -> tuple[dict, int]:
+    """One WARC record at ``at``: returns (record, next_offset)."""
+    hdr_end = chunk.find(_CRLF + _CRLF, at)
+    if hdr_end < 0:
+        raise ValueError("warc: truncated record header")
+    header_blob = chunk[at:hdr_end].decode("utf-8", errors="replace")
+    lines = header_blob.split("\r\n")
+    if not lines or not lines[0].startswith("WARC/"):
+        raise ValueError("warc: missing WARC/ version line")
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        if ":" in line:
+            k, v = line.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+    try:
+        length = int(headers.get("content-length", ""))
+    except ValueError as exc:
+        raise ValueError("warc: bad Content-Length") from exc
+    block_start = hdr_end + 4
+    block = chunk[block_start : block_start + length]
+    if len(block) < length:
+        raise ValueError("warc: block overruns data")
+    return (
+        {"headers": headers, "block": block},
+        block_start + length + 4,  # records separated by \r\n\r\n
+    )
+
+
+def _strip_http_headers(block: bytes) -> bytes:
+    """For response records the block is an HTTP message; the payload
+    starts after its header section."""
+    if block.startswith(b"HTTP/"):
+        sep = block.find(_CRLF + _CRLF)
+        if sep >= 0:
+            return block[sep + 4 :]
+    return block
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """All records of a WARC byte stream (plain or gzip members).
+
+    Returns dicts with ``type``, ``url``, ``date`` (ISO string or
+    None), ``payload`` (bytes, HTTP headers stripped for responses).
+    """
+    if data[:2] == b"\x1f\x8b":
+        chunks = _gzip_members(data)
+    else:
+        chunks = iter([data])
+    out: list[dict] = []
+    for chunk in chunks:
+        at = 0
+        while at < len(chunk):
+            # tolerate inter-record padding
+            while at < len(chunk) and chunk[at : at + 1] in (b"\r", b"\n"):
+                at += 1
+            if at >= len(chunk):
+                break
+            rec, at = _parse_record(chunk, at)
+            h = rec["headers"]
+            rtype = h.get("warc-type", "unknown")
+            payload = rec["block"]
+            if rtype == "response":
+                payload = _strip_http_headers(payload)
+            out.append(
+                {
+                    "type": rtype,
+                    "url": h.get("warc-target-uri"),
+                    "date": h.get("warc-date"),
+                    "payload": payload,
+                }
+            )
+    return out
+
+
+def write_warc(records: list[dict], *, gzip_members: bool = True) -> bytes:
+    """Serialize (url, date, html) dicts as a WARC byte stream.
+
+    Response records carry a minimal HTTP/1.1 200 message (the
+    Common-Crawl shape); each record becomes its own gzip member when
+    ``gzip_members`` (the CC storage layout). Deterministic: gzip
+    mtime pinned to 0.
+    """
+    out = bytearray()
+    for rec in records:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + rec["html"]
+        )
+        headers = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {rec['url']}\r\n".encode()
+            + f"WARC-Date: {rec['date']}\r\n".encode()
+            + f"Content-Length: {len(http)}\r\n".encode()
+            + b"Content-Type: application/http; msgtype=response\r\n"
+        )
+        raw = headers + _CRLF + http + _CRLF + _CRLF
+        if gzip_members:
+            out += gzip.compress(raw, compresslevel=6, mtime=0)
+        else:
+            out += raw
+    return bytes(out)
+
+
+def _warc_ts(date: str | None):
+    if not date:
+        return None
+    try:
+        return _dt.datetime.fromisoformat(date.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+
+
+def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Spark source: directory/glob of WARC files -> pages-shaped rows.
+
+    ``binaryFile`` scan (one task per file — Common Crawl's sharding
+    unit) -> Arrow-batched parse. Only ``response`` records become
+    page rows; a file that fails to parse yields ONE ERROR row
+    carrying the file path, so ingest failures are visible in the
+    same frame, not lost in logs.
+    """
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_PAGES_SCHEMA.fields]
+        for pdf in it:
+            rows: list[dict] = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    for rec in parse_warc(bytes(content)):
+                        if rec["type"] != "response":
+                            continue
+                        rows.append(
+                            {
+                                "url": rec["url"],
+                                "warc_ts": _warc_ts(rec["date"]),
+                                "html": rec["payload"],
+                                "text": "",
+                                "lang": "",
+                                "warc_file": fpath,
+                                "record_type": rec["type"],
+                                "status": "OK",
+                                "error": None,
+                            }
+                        )
+                except ValueError as exc:
+                    rows.append(
+                        {
+                            "url": None,
+                            "warc_ts": None,
+                            "html": None,
+                            "text": "",
+                            "lang": "",
+                            "warc_file": fpath,
+                            "record_type": "error",
+                            "status": "ERROR",
+                            "error": f"warc: {exc}",
+                        }
+                    )
+            yield pd.DataFrame({c: [r[c] for r in rows] for c in cols})
+
+    return files.mapInPandas(batches, schema=WARC_PAGES_SCHEMA)
