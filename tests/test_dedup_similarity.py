@@ -245,3 +245,40 @@ def test_simhash64_vectorized_matches_pure_python(spark):
     got = {r["doc_id"]: r["simhash64"] for r in simhash64(docs).collect()}
     want = {i: _simhash64_py(t) for i, t in enumerate(texts)}
     assert got == want
+
+
+def test_embedding_dup_pairs_lsh_finds_true_near_dups(spark):
+    """Banded hyperplane LSH targets cosine~1 duplicates: seeded base
+    vectors plus tiny noise MUST collide in >=1 band and survive the
+    exact rescore; the pair set is sound (subset of exact)."""
+    import numpy as np
+
+    from westa_ocr_spark.operators.similarity import (
+        cosine_dup_pairs_exact,
+        cosine_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(123)
+    dim = 32
+    rows = []
+    vid = 0
+    for g in range(6):  # 6 groups of 3 near-identical vectors
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for _ in range(3):
+            noisy = base + rng.standard_normal(dim) * 0.01
+            rows.append((vid, [float(x) for x in noisy]))
+            vid += 1
+    for _ in range(30):  # background noise vectors
+        v = rng.standard_normal(dim)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {(r.id_a, r.id_b)
+             for r in cosine_dup_pairs_exact(emb, 0.95).collect()}
+    lsh = {(r.id_a, r.id_b)
+           for r in cosine_dup_pairs_lsh(emb, dim, 0.95).collect()}
+    # 6 groups x C(3,2) = 18 true near-dup pairs
+    assert len(exact) == 18
+    assert lsh == exact  # full recall at cosine~1, zero false pairs

@@ -221,3 +221,87 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
         )
     )
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def cosine_dup_pairs_exact(embeddings: DataFrame, threshold: float = 0.8,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (a < b, cosine >=
+    threshold). All-pairs — the verified ORACLE BASELINE for the
+    banded LSH path below, usable directly on bounded candidate sets
+    (the same role brute-force knn plays for ivf/lsh top-k)."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cosine = round_det(
+        _dot(F.col("vec_a"), F.col("vec_b"))
+        / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))),
+        6,
+    )
+    return (
+        pairs.select("id_a", "id_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_dup_pairs_lsh(embeddings: DataFrame, dim: int,
+                         threshold: float = 0.8, bands: int = 4,
+                         planes_per_band: int = 8, seed: int = 7,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: banded hyperplane LSH.
+
+    One 32-bit signature per vector (bands x planes_per_band planes,
+    computed once in an Arrow batch), split into per-band buckets;
+    candidate pairs collide in >=1 band (the minhash banding trick,
+    hyperplane edition), then exact cosine re-scores and filters. The
+    self-join key (band, bucket) is hash-distributed — no skew, and
+    never all-pairs.
+    """
+    n_planes = bands * planes_per_band
+    sigs = lsh_signatures(embeddings, dim, n_planes, seed, id_col, vec_col)
+    mask = (1 << planes_per_band) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bnd).alias("band"),
+                (
+                    F.shiftright(F.col("bucket"), bnd * planes_per_band)
+                    .bitwiseAND(F.lit(mask))
+                ).alias("bb"),
+            )
+            for bnd in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col("vec_id"), F.explode(band_structs).alias("s")
+    ).select("vec_id", "s.band", "s.bb")
+    banded = banded.localCheckpoint(eager=True)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, on=["band", "bb"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"),
+                           F.col(vec_col).alias("vec_a"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"),
+                           F.col(vec_col).alias("vec_b"))
+    rescored = cand.join(va, "id_a").join(vb, "id_b")
+    cosine = round_det(
+        _dot(F.col("vec_a"), F.col("vec_b"))
+        / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))),
+        6,
+    )
+    return (
+        rescored.select("id_a", "id_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

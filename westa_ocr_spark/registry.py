@@ -2003,3 +2003,52 @@ def _q_warc_ingest(spark, sf):
 
 
 QUERIES["warc_ingest"] = (_q_warc_ingest, None)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (the remaining dedup modality)
+
+def _q_embedding_dup_pairs(spark, sf):
+    # exact all-pairs on a bounded slice — the oracle baseline
+    # threshold 0.3: the synthetic embeddings are near-orthogonal
+    # (max pair cosine ~0.5), so 0.3 yields a non-trivial pair set
+    return similarity.cosine_dup_pairs_exact(
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200),
+        threshold=0.3,
+    )
+
+
+_SQL_EMBEDDING_DUP_PAIRS = (
+    "WITH e AS (SELECT vec_id, embedding FROM embeddings "
+    "WHERE vec_id < 200) "
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    + _sql_round_det(
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+        "p -> cast(p[1] AS double) * cast(p[2] AS double))) / ("
+        "sqrt(list_sum(list_transform(a.embedding, "
+        "x -> cast(x AS double) * cast(x AS double)))) * "
+        "sqrt(list_sum(list_transform(b.embedding, "
+        "x -> cast(x AS double) * cast(x AS double)))))", 6)
+    + " AS cosine FROM e a JOIN e b ON a.vec_id < b.vec_id "
+    "WHERE "
+    + _sql_round_det(
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+        "p -> cast(p[1] AS double) * cast(p[2] AS double))) / ("
+        "sqrt(list_sum(list_transform(a.embedding, "
+        "x -> cast(x AS double) * cast(x AS double)))) * "
+        "sqrt(list_sum(list_transform(b.embedding, "
+        "x -> cast(x AS double) * cast(x AS double)))))", 6)
+    + " >= 0.3"
+)
+
+
+def _q_embedding_dup_pairs_lsh(spark, sf):
+    # banded hyperplane LSH scale path (numpy signatures — rows-only)
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return similarity.cosine_dup_pairs_lsh(emb, dim=dim, threshold=0.3)
+
+
+QUERIES["embedding_dup_pairs"] = (
+    _q_embedding_dup_pairs, _SQL_EMBEDDING_DUP_PAIRS)
+QUERIES["embedding_dup_pairs_lsh"] = (_q_embedding_dup_pairs_lsh, None)
