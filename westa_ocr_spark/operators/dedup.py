@@ -550,3 +550,26 @@ def duplicate_groups(docs: DataFrame, id_col: str = "doc_id",
         )
     )
 
+
+
+def keep_canonical(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """The dedup a training-data pipeline actually runs: drop every
+    exact duplicate except the canonical (minimum-id) copy.
+
+    One hash aggregation on the content fingerprint (min-id per
+    group, map-side partial) + one semi-join back — no shuffle of the
+    text payload beyond the fingerprint exchange. Survivors =
+    canonical ids of every group (singletons included), so the output
+    is exactly one representative per distinct normalized content.
+    """
+    fp = fingerprint(F.col(text_col))
+    canon = (
+        docs.select(fp.alias("fp"), F.col(id_col).alias("_id"))
+        .groupBy("fp")
+        .agg(F.min("_id").alias("keep_id"))
+        .select("keep_id")
+    )
+    return docs.join(
+        canon, docs[id_col] == canon["keep_id"], "left_semi"
+    )

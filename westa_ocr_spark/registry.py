@@ -2052,3 +2052,23 @@ def _q_embedding_dup_pairs_lsh(spark, sf):
 QUERIES["embedding_dup_pairs"] = (
     _q_embedding_dup_pairs, _SQL_EMBEDDING_DUP_PAIRS)
 QUERIES["embedding_dup_pairs_lsh"] = (_q_embedding_dup_pairs_lsh, None)
+
+
+# ---------------------------------------------------------------------------
+# Canonical-survivor dedup (the filter a training pipeline applies)
+
+def _q_dedup_keep_canonical(spark, sf):
+    return dedup.keep_canonical(_t(spark, sf, "documents")).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+_SQL_DEDUP_KEEP_CANONICAL = (
+    "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN ("
+    f"SELECT min(doc_id) FROM (SELECT doc_id, "
+    f"md5({_SQL_NORM.format(c='text')}) AS fp FROM documents) "
+    "GROUP BY fp)"
+)
+
+QUERIES["dedup_keep_canonical"] = (
+    _q_dedup_keep_canonical, _SQL_DEDUP_KEEP_CANONICAL)
