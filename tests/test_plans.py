@@ -86,7 +86,7 @@ def test_extraction_wholestage_codegen_around_scan(spark, pages_parquet):
 # whose plan is driven eagerly at construction time (streaming drain /
 # iterative CC), so a static sweep can't inspect them meaningfully.
 _NL_BY_DESIGN = {"embedding_knn", "embedding_topk", "lsh_topk",
-                 "ivf_topk"}
+                 "ivf_topk", "embedding_dup_pairs"}
 _EAGER = {"stream_windowed_counts", "duplicate_groups",
           "lsh_dup_candidates", "extract_pages_job"}
 
