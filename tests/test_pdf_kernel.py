@@ -144,3 +144,72 @@ def test_incremental_update_later_object_wins():
         b"%%%%EOF\n" % (len(new_stream), new_stream)
     )
     assert extract_pdf_pages(pdf + tail) == ["new text"]
+
+
+def test_lzw_filter_roundtrip():
+    """LZWDecode: encode a content stream with a reference LZW
+    compressor and splice it into a PDF; the parser must decode it."""
+    from westa_ocr_spark.kernel.pdf_core import _lzw
+
+    def lzw_encode(data: bytes) -> bytes:
+        # straightforward MSB-first LZW encoder (test-only)
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+        out_bits: list[tuple[int, int]] = [(256, 9)]  # leading clear
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+            else:
+                out_bits.append((table[w], width))
+                table[wc] = next_code
+                next_code += 1
+                if next_code > (1 << width) - 1 and width < 12:
+                    width += 1
+                w = bytes([ch])
+        if w:
+            out_bits.append((table[w], width))
+        out_bits.append((257, width))  # EOD
+        acc = nbits = 0
+        buf = bytearray()
+        for code, wd in out_bits:
+            acc = (acc << wd) | code
+            nbits += wd
+            while nbits >= 8:
+                buf.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        if nbits:
+            buf.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(buf)
+
+    stream = b"BT /F1 12 Tf 72 720 Td (lzw page text) Tj ET"
+    assert _lzw(lzw_encode(stream), {}) == stream
+
+    pdf = write_pdf(["placeholder"])
+    enc = lzw_encode(stream)
+    old = b"(placeholder) Tj ET"
+    start = pdf.index(b"<< /Length ")
+    end = pdf.index(b"endstream", start) + len(b"endstream")
+    replacement = (
+        b"<< /Length %d /Filter /LZWDecode >>\nstream\n" % len(enc)
+        + enc + b"\nendstream"
+    )
+    # the content stream is the object right after the page dict;
+    # rebuild that object wholesale
+    obj_start = pdf.index(b"5 0 obj\n") + len(b"5 0 obj\n")
+    obj_end = pdf.index(b"endstream", obj_start) + len(b"endstream")
+    patched = pdf[:obj_start] + replacement + pdf[obj_end:]
+    assert extract_pdf_pages(patched) == ["lzw page text"]
+    assert old not in patched
+
+
+def test_encrypted_pdf_raises_cleanly():
+    pdf = write_pdf(["secret"])
+    at = pdf.rindex(b"trailer")
+    patched = pdf[:at] + pdf[at:].replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 99 0 R", 1
+    )
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_pages(patched)

@@ -268,24 +268,7 @@ def _flate(data: bytes, parms: dict) -> bytes:
             raw = zlib.decompressobj(-15).decompress(data)  # raw deflate
         except zlib.error as exc:
             raise ValueError(f"malformed PDF (flate: {exc})") from exc
-    pred = parms.get("Predictor", 1)
-    if pred == 1:
-        return raw
-    colors = parms.get("Colors", 1)
-    bpc = parms.get("BitsPerComponent", 8)
-    columns = parms.get("Columns", 1)
-    if pred >= 10:
-        return _png_predictor(raw, colors, bpc, columns)
-    if pred == 2:  # TIFF horizontal differencing (8-bit only)
-        if bpc != 8:
-            raise ValueError("malformed PDF (TIFF predictor bpc != 8)")
-        rowlen = columns * colors
-        out = bytearray(raw)
-        for r0 in range(0, len(out) - rowlen + 1, rowlen):
-            for k in range(colors, rowlen):
-                out[r0 + k] = (out[r0 + k] + out[r0 + k - colors]) & 0xFF
-        return bytes(out)
-    raise ValueError(f"malformed PDF (unknown predictor {pred})")
+    return _apply_predictor(raw, parms)
 
 
 def _ascii_hex(data: bytes, _parms: dict) -> bytes:
@@ -309,6 +292,70 @@ def _ascii85(data: bytes, _parms: dict) -> bytes:
         raise ValueError(f"malformed PDF (a85: {exc})") from exc
 
 
+def _lzw(data: bytes, parms: dict) -> bytes:
+    """LZWDecode (ISO 32000 §7.4.4): variable-width codes 9..12 bits,
+    MSB-first, with clear-table (256) / EOD (257) markers. Older PDF
+    writers (and TIFF-era toolchains) still emit it."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    width = 9
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                prev = None
+                width = 9
+                continue
+            if code == 257:  # EOD
+                nbits = 0
+                break
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("malformed PDF (bad LZW start code)")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("malformed PDF (LZW code out of range)")
+            out += entry
+            prev = entry
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+    return _apply_predictor(bytes(out), parms or {})
+
+
+def _apply_predictor(raw: bytes, parms: dict) -> bytes:
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    columns = parms.get("Columns", 1)
+    pred = parms.get("Predictor", 1)
+    if pred >= 10:
+        return _png_predictor(raw, colors, bpc, columns)
+    if pred == 2:
+        if bpc != 8:
+            raise ValueError("malformed PDF (TIFF predictor bpc != 8)")
+        rowlen = columns * colors
+        out = bytearray(raw)
+        for r0 in range(0, len(out) - rowlen + 1, rowlen):
+            for k in range(colors, rowlen):
+                out[r0 + k] = (out[r0 + k] + out[r0 + k - colors]) & 0xFF
+        return bytes(out)
+    if pred in (None, 1):
+        return raw
+    raise ValueError(f"malformed PDF (unknown predictor {pred})")
+
+
 def _runlength(data: bytes, _parms: dict) -> bytes:
     out = bytearray()
     i = 0
@@ -330,6 +377,7 @@ _FILTERS = {
     "ASCIIHexDecode": _ascii_hex, "AHx": _ascii_hex,
     "ASCII85Decode": _ascii85, "A85": _ascii85,
     "RunLengthDecode": _runlength, "RL": _runlength,
+    "LZWDecode": _lzw, "LZW": _lzw,
 }
 
 
@@ -455,6 +503,25 @@ class PdfDocument:
         return data
 
     # -- page tree ----------------------------------------------------------
+
+    def is_encrypted(self) -> bool:
+        """True when a trailer (classic or xref-stream) names
+        /Encrypt — content streams would be ciphertext, so extraction
+        must take the clean per-row ERROR path instead of emitting
+        garbage."""
+        for m in _TRAILER.finditer(self.data):
+            try:
+                d, _ = parse_object(self.data, m.end())
+            except ValueError:
+                continue
+            if isinstance(d, dict) and "Encrypt" in d:
+                return True
+        for val in self.objects.values():
+            if isinstance(val, StreamObj) and val.dict.get("Type") == Name(
+                "XRef"
+            ) and "Encrypt" in val.dict:
+                return True
+        return False
 
     def _find_root(self) -> dict | None:
         # trailer dict(s), last wins (incremental updates)

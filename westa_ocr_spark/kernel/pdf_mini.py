@@ -275,4 +275,6 @@ def extract_pdf_pages(data: bytes) -> list[str]:
     if b"%%EOF" not in data:
         raise ValueError("truncated PDF (missing %%EOF)")
     doc = PdfDocument(data)
+    if doc.is_encrypted():
+        raise ValueError("encrypted PDF (decryption not supported)")
     return [content_text(doc.page_content(p)) for p in doc.pages()]
