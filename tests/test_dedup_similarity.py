@@ -282,3 +282,19 @@ def test_embedding_dup_pairs_lsh_finds_true_near_dups(spark):
     # 6 groups x C(3,2) = 18 true near-dup pairs
     assert len(exact) == 18
     assert lsh == exact  # full recall at cosine~1, zero false pairs
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer doubling: a 60-node path graph converges within the
+    default round budget (plain 1-hop propagation would need 59)."""
+    from westa_ocr_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["doc_a", "doc_b"]
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert set(comp.values()) == {0}
+    assert len(comp) == 61

@@ -472,14 +472,19 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
 def connected_components(edges: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b",
                          max_iter: int = 20) -> DataFrame:
-    """Min-label propagation over an undirected edge set.
+    """Min-label propagation + pointer doubling over an undirected
+    edge set.
 
     Output (node, component) where component = min node id reachable.
-    Each iteration is one shuffle (join + min-agg); iterations needed =
-    graph diameter, which for duplicate clusters is tiny. The label
-    frame is localCheckpoint'ed per iteration so the plan doesn't grow
-    exponentially, and the loop exits early once no label changes —
-    the standard Spark CC shape without a graph library dependency.
+    Each round is two shuffles: (1) 1-hop neighbor-min, (2) a
+    shortcut step mapping every node's label to its label's own label
+    (pointer doubling) — so convergence is O(log diameter) rounds,
+    not O(diameter): a 1000-node chain converges in ~10 rounds where
+    plain propagation needs 1000. Labels are localCheckpoint'ed per
+    round (lineage truncation for the iterative plan) and the loop
+    exits early once no label changes. Raises if ``max_iter`` rounds
+    were insufficient — a silently-unconverged component assignment
+    would corrupt dedup groups downstream.
     """
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
@@ -499,25 +504,43 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
             .groupBy(F.col("v").alias("node2"))
             .agg(F.min("component").alias("neigh_min"))
         )
+        hop = labels.join(
+            neigh, labels["node"] == neigh["node2"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("neigh_min"), F.col("component")),
+            ).alias("component"),
+        )
+        # pointer doubling: component <- component's own component
+        parent = hop.select(
+            F.col("node").alias("p_node"),
+            F.col("component").alias("p_comp"),
+        )
         updated = (
-            labels.join(neigh, labels["node"] == neigh["node2"], "left")
+            hop.join(parent, hop["component"] == parent["p_node"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"),
-                    F.coalesce(F.col("neigh_min"), F.col("component")),
+                    F.coalesce(F.col("p_comp"), F.col("component")),
                 ).alias("component"),
-                (
-                    F.coalesce(F.col("neigh_min"), F.col("component"))
-                    < F.col("component")
-                ).alias("_changed"),
             )
-        ).localCheckpoint(eager=True)
-        changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = updated
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise ValueError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
 
 
 def duplicate_groups(docs: DataFrame, id_col: str = "doc_id",
