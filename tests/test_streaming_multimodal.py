@@ -203,3 +203,42 @@ def test_stateful_first_seen_dedupe(spark, tmp_path_factory):
     seen_ts = {r["url"]: r["first_seen_ts"] for r in rows}
     assert seen_ts["a"] == base
     assert seen_ts["e"] == base + dt.timedelta(minutes=8)
+
+
+def test_streaming_upsert_sink_is_idempotent(spark, tmp_path_factory):
+    """foreachBatch -> merge_upsert: re-running the drained stream
+    against a FRESH checkpoint (simulated replay of all batches)
+    leaves the keyed table unchanged — the streaming version of the
+    at-least-once + dedupe contract."""
+    from westa_ocr_spark.corpus import write_pages_parquet
+    from westa_ocr_spark.sources.tables import ParquetTable
+    from westa_ocr_spark.streaming.stream_pipeline import (
+        start_extraction_upsert_stream,
+    )
+
+    src = str(tmp_path_factory.mktemp("upsrc") / "pages")
+    write_pages_parquet(src, n=40, rows_per_file=10)
+    out = tmp_path_factory.mktemp("upout")
+    table_path = str(out / "table")
+
+    q = start_extraction_upsert_stream(
+        spark, src, table_path, str(out / "_cp1")
+    )
+    q.awaitTermination(300)
+    t = ParquetTable(table_path)
+    first = {
+        (r["url"], r["page_index"]): r["status"]
+        for r in t.read(spark).collect()
+    }
+    assert len(first) >= 40  # PDFs fan out to >1 page
+
+    # replay EVERYTHING (fresh checkpoint): at-least-once delivery
+    q2 = start_extraction_upsert_stream(
+        spark, src, table_path, str(out / "_cp2")
+    )
+    q2.awaitTermination(300)
+    second = {
+        (r["url"], r["page_index"]): r["status"]
+        for r in t.read(spark).collect()
+    }
+    assert second == first  # exactly-once table despite full replay

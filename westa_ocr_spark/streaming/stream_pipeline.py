@@ -199,3 +199,40 @@ def windowed_counts_complete(
     )
     shutil.rmtree(stage, ignore_errors=True)
     return out
+
+
+def start_extraction_upsert_stream(
+    spark: SparkSession,
+    input_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming extraction into the IDEMPOTENT keyed sink.
+
+    ``foreachBatch`` hands each micro-batch to the same
+    ``merge_upsert`` the batch pipeline uses (keys ``(url,
+    page_index)``), so the combination delivers the reference's
+    at-least-once + dedupe contract continuously: a replayed
+    micro-batch (restart between sink write and checkpoint commit)
+    re-upserts the same keys and the table stays exactly-once. On a
+    real deployment the table is Iceberg and each batch is one
+    snapshot commit; here the parquet fallback provides the same
+    interface (sources/tables.py).
+    """
+    from westa_ocr_spark.sources.tables import keyed_table
+
+    table = keyed_table(spark, table_path)
+
+    def sink(batch_df, batch_id: int) -> None:
+        table.merge_upsert(
+            batch_df.sparkSession, batch_df, keys=["url", "page_index"]
+        )
+
+    stream = read_pages_stream(spark, input_dir)
+    return (
+        extract_pages(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
