@@ -2072,3 +2072,49 @@ _SQL_DEDUP_KEEP_CANONICAL = (
 
 QUERIES["dedup_keep_canonical"] = (
     _q_dedup_keep_canonical, _SQL_DEDUP_KEEP_CANONICAL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q10: returned-item revenue per customer, top 20 (join-heavy
+# agg + total-order limit; broadcast nation dim)
+
+def _q_tpch_q10(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(5,3)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        round_det(
+            F.sum(price * (F.lit(1).cast("decimal(5,3)") - disc)).cast(
+                "double"
+            ),
+            2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_returned"),
+    )
+    return agg.orderBy(F.desc("revenue"), "c_custkey").limit(20)
+
+
+_SQL_TPCH_Q10 = (
+    "SELECT c_custkey, c_name, n_name, "
+    + _sql_round_det(
+        "cast(sum(cast(l_extendedprice AS decimal(18,4)) * "
+        "(cast(1 AS decimal(5,3)) - cast(l_discount AS decimal(5,3)))) "
+        "AS double)", 2)
+    + " AS revenue, count(*) AS n_returned "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE l_returnflag = 'R' "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20"
+)
+
+QUERIES["tpch_q10"] = (_q_tpch_q10, _SQL_TPCH_Q10)
