@@ -129,3 +129,30 @@ def test_lang_id_und_for_no_markers(spark):
     df = spark.createDataFrame([("xyzzy qwerty",), ("",)], ["text"])
     rows = df.select(lang_id(F.col("text")).alias("l")).collect()
     assert [r["l"] for r in rows] == ["und", "und"]
+
+
+def test_gopher_flags_semantics(spark):
+    from westa_ocr_spark.functions.textfns import with_quality_flags
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs back to the barn for a long rest in the shade of "
+            "an old oak tree while birds sing in the branches above "
+            "and the farmer watches from his porch with a cup of "
+            "coffee thinking about the harvest that is coming soon")
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "too few words here"),                   # word count low
+        (3, "#### @@@@ %%%% " * 40),                 # symbol ratio high
+        (4, ("word " * 60).strip()),                 # no stopwords + dup
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict()
+           for r in with_quality_flags(df, "text").collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["gopher_pass"] is False and out[2]["n_words"] == 4
+    assert out[3]["gopher_pass"] is False
+    assert out[3]["symbol_ratio"] > 0.1
+    assert out[4]["gopher_pass"] is False  # stop_hits 0
+    assert out[4]["dup_word_frac"] > 0.9   # 60x the same word
+    assert out[4]["top_bigram_frac"] == 1.0
+    assert out[1]["dup_word_frac"] < 0.6

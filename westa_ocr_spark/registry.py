@@ -2118,3 +2118,56 @@ _SQL_TPCH_Q10 = (
 )
 
 QUERIES["tpch_q10"] = (_q_tpch_q10, _SQL_TPCH_Q10)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality gate + repetition metrics (crawl filtering)
+
+def _q_gopher_quality(spark, sf):
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return textfns.with_quality_flags(docs, "text").drop("text")
+
+
+_SQL_GOPHER_WORDS = (
+    "list_filter(string_split(" + _SQL_NORM.format(c="text")
+    + ", ' '), w -> length(w) > 0)"
+)
+
+_SQL_GOPHER_QUALITY = (
+    "WITH w AS (SELECT doc_id, text, " + _SQL_GOPHER_WORDS + " AS words "
+    "FROM documents), "
+    "base AS (SELECT doc_id, text, words, len(words) AS n, "
+    "CASE WHEN len(words) >= 2 THEN list_transform("
+    "range(1, greatest(len(words) - 1, 1) + 1), "
+    "i -> array_to_string(words[i:i+1], ' ')) "
+    "ELSE [] END AS bg FROM w), "
+    "m AS (SELECT doc_id, text, n, bg, "
+    "CASE WHEN n > 0 THEN "
+    + _sql_round_det(
+        "cast(length(array_to_string(words, '')) AS double) / n", 6)
+    + " ELSE 0.0 END AS mean_word_len, "
+    "CASE WHEN n > 0 THEN "
+    + _sql_round_det(
+        "cast(n - len(list_distinct(words)) AS double) / n", 6)
+    + " ELSE 0.0 END AS dup_word_frac, "
+    "CASE WHEN length(text) > 0 THEN "
+    + _sql_round_det(
+        "cast(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) "
+        "AS double) / length(text)", 6)
+    + " ELSE 0.0 END AS symbol_ratio, "
+    "cast(" + " + ".join(
+        _sql_occ("text", w) for w in textfns._LANG_STOPWORDS["en"])
+    + " AS bigint) AS stop_hits FROM base) "
+    "SELECT doc_id, cast(n AS bigint) AS n_words, mean_word_len, "
+    "symbol_ratio, stop_hits, "
+    "(n >= 50 AND n <= 100000 AND mean_word_len >= 3.0 AND "
+    "mean_word_len <= 10.0 AND symbol_ratio <= 0.1 AND stop_hits >= 2) "
+    "AS gopher_pass, dup_word_frac, "
+    "CASE WHEN len(bg) > 0 THEN "
+    + _sql_round_det(
+        "cast(list_max(list_transform(list_distinct(bg), "
+        "x -> len(list_filter(bg, y -> y = x)))) AS double) / len(bg)", 6)
+    + " ELSE 0.0 END AS top_bigram_frac FROM m"
+)
+
+QUERIES["gopher_quality"] = (_q_gopher_quality, _SQL_GOPHER_QUALITY)
