@@ -156,3 +156,25 @@ def test_gopher_flags_semantics(spark):
     assert out[4]["dup_word_frac"] > 0.9   # 60x the same word
     assert out[4]["top_bigram_frac"] == 1.0
     assert out[1]["dup_word_frac"] < 0.6
+
+
+def test_normalize_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from westa_ocr_spark.functions.textfns import normalize_url
+
+    cases = {
+        "HTTPS://Example.COM:443/Path?utm_source=x&q=1#frag":
+            "https://example.com/Path?q=1",
+        "http://a.b:80/": "http://a.b",
+        "http://a.b/p?fbclid=zzz": "http://a.b/p",
+        "https://x.y/path?q=1&utm_medium=m&r=2":
+            "https://x.y/path?q=1&r=2",
+        "https://x.y/path/": "https://x.y/path",
+        "ftp://Host/One": "ftp://host/One",  # path case preserved
+        "https://x.y": "https://x.y",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], ["url"])
+    got = {r["url"]: r["n"] for r in
+           df.select("url", normalize_url(F.col("url")).alias("n")).collect()}
+    assert got == cases

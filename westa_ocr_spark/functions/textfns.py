@@ -366,3 +366,29 @@ def with_quality_flags(df, text_col: str):
             nb > 0, round_det(top_count.cast("double") / nb, 6)
         ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
     )
+
+
+def normalize_url(col: Column) -> Column:
+    """Crawl-dedup URL canonicalization, regex-only (SQL-twinnable):
+
+    1. drop the fragment (``#…``);
+    2. lowercase the scheme+host prefix;
+    3. drop default ports (``:80``/``:443``);
+    4. strip tracking params (``utm_*``, ``fbclid``, ``gclid``) and
+       tidy leftover ``?``/``&`` separators;
+    5. drop a trailing slash on a non-root path.
+
+    Regex-only on purpose: the identical patterns run in DuckDB, so
+    the oracle verifies every step (a urllib-based UDF could not be
+    twinned and would be per-row Python anyway).
+    """
+    u = F.regexp_replace(col, r"#.*$", "")
+    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    u = F.concat(F.lower(head), rest)
+    u = F.regexp_replace(u, r":(80|443)(/|\?|$)", "$2")
+    u = F.regexp_replace(u, r"(utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*&?", "")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"(.)/$", "$1")
+    return u

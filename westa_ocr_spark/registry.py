@@ -2171,3 +2171,61 @@ _SQL_GOPHER_QUALITY = (
 )
 
 QUERIES["gopher_quality"] = (_q_gopher_quality, _SQL_GOPHER_QUALITY)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + crawl dedup by normalized URL
+
+def _q_url_normalize(spark, sf):
+    """Three deterministic variants per doc (case noise, default
+    port, tracking params, trailing slash, fragment) must collapse to
+    ONE normalized url each -> every group has n_variants = 3."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    host = F.concat(F.lit("site"), (F.col("doc_id") % 50).cast("string"),
+                    F.lit(".example"))
+    path = F.concat(F.lit("/p/"), F.col("doc_id").cast("string"))
+    variants = F.array(
+        F.concat(F.lit("https://"), host, path, F.lit("?id=1")),
+        F.concat(F.lit("HTTPS://"), F.upper(host), F.lit(":443"),
+                 path, F.lit("?id=1&utm_source=feed")),
+        F.concat(F.lit("https://"), host, path, F.lit("?id=1#section")),
+    )
+    exploded = docs.select(
+        F.explode(variants).alias("url")
+    ).select(textfns.normalize_url(F.col("url")).alias("url_norm"))
+    return exploded.groupBy("url_norm").agg(
+        F.count(F.lit(1)).alias("n_variants")
+    )
+
+
+_SQL_URL_NORMALIZE = """
+WITH raw AS (
+  SELECT unnest([
+    'https://' || host || path || '?id=1',
+    'HTTPS://' || upper(host) || ':443' || path || '?id=1&utm_source=feed',
+    'https://' || host || path || '?id=1#section'
+  ]) AS url
+  FROM (SELECT 'site' || cast(doc_id % 50 AS varchar) || '.example' AS host,
+               '/p/' || cast(doc_id AS varchar) AS path
+        FROM documents WHERE doc_id < 300)
+), norm AS (
+  SELECT regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+              '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) ||
+            regexp_replace(regexp_replace(url, '#.*$', ''),
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+            ':(80|443)(/|\\?|$)', '\\2'),
+          '(utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+        '[?&]+$', ''),
+      '\\?&', '?'),
+    '(.)/$', '\\1') AS url_norm
+  FROM raw
+)
+SELECT url_norm, count(*) AS n_variants FROM norm GROUP BY 1
+"""
+
+QUERIES["url_normalize"] = (_q_url_normalize, _SQL_URL_NORMALIZE)
