@@ -298,3 +298,19 @@ def test_connected_components_long_chain_converges(spark):
     }
     assert set(comp.values()) == {0}
     assert len(comp) == 61
+
+
+def test_line_corpus_dedup_semantics(spark):
+    from westa_ocr_spark.operators.dedup import line_corpus_dedup
+
+    banner = "accept cookies to continue"
+    rows = [(i, f"headline {i}\n{banner}\nbody text {i}")
+            for i in range(12)]
+    rows.append((99, banner))  # a doc that is ONLY boilerplate
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"]
+           for r in line_corpus_dedup(docs, max_line_df=5).collect()}
+    assert len(out) == 13  # row count preserved (lineage)
+    for i in range(12):
+        assert out[i] == f"headline {i}\nbody text {i}"  # order kept
+    assert out[99] == ""  # fully-boilerplate doc comes back empty

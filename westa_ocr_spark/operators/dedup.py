@@ -596,3 +596,59 @@ def keep_canonical(docs: DataFrame, id_col: str = "doc_id",
     return docs.join(
         canon, docs[id_col] == canon["keep_id"], "left_semi"
     )
+
+
+def line_corpus_dedup(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_line_df: int = 10) -> DataFrame:
+    """C4-style cross-corpus line dedup: drop every line that occurs
+    in more than ``max_line_df`` documents (navigation crumbs, cookie
+    banners, share bars — the lines that survive per-document
+    boilerplate stripping because every page has them).
+
+    Shape: posexplode lines -> line document-frequency (hash agg on
+    the line's md5, two bytes of payload per line instead of the line
+    text) -> broadcast anti-join against the (tiny) hot-line list ->
+    reassemble with sort_array(collect_list(struct(pos, line))) so
+    line order survives the shuffle. Documents whose every line was
+    boilerplate come back EMPTY (kept, text=''), so row count is
+    preserved for lineage.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    hot = (
+        lines.filter(F.length(F.trim("line")) > 0)
+        .select(F.md5("line").alias("line_fp"), "doc_id")
+        .distinct()
+        .groupBy("line_fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_line_df)
+        .select("line_fp")
+    )
+    kept = lines.join(
+        F.broadcast(hot),
+        F.md5(F.col("line")) == hot["line_fp"],
+        "left_anti",
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("text")
+        )
+        .unionByName(
+            # docs whose every line was hot: re-emit empty
+            docs.select(F.col(id_col).alias("doc_id")).join(
+                kept.select("doc_id").distinct(), "doc_id", "left_anti"
+            ).withColumn("text", F.lit(""))
+        )
+    )

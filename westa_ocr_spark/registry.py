@@ -2229,3 +2229,52 @@ SELECT url_norm, count(*) AS n_variants FROM norm GROUP BY 1
 """
 
 QUERIES["url_normalize"] = (_q_url_normalize, _SQL_URL_NORMALIZE)
+
+
+# ---------------------------------------------------------------------------
+# C4-style cross-corpus line dedup (boilerplate lines by document freq)
+
+def _q_line_dedup(spark, sf):
+    """Synthesized multi-line docs: a corpus-wide cookie banner
+    (df=500) and a per-group banner (df~71) must vanish; the
+    doc-unique intro/tail lines must survive in order."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    words = F.split("text", " ")
+    raw = F.concat_ws(
+        "\n",
+        F.concat(F.lit("intro "), F.col("doc_id").cast("string"),
+                 F.lit(" "), F.concat_ws(" ", F.slice(words, 1, 5))),
+        F.lit("cookie notice accept all cookies"),
+        F.concat(F.lit("group banner "),
+                 (F.col("doc_id") % 7).cast("string")),
+        F.concat(F.lit("unique tail "), F.col("doc_id").cast("string")),
+    )
+    return dedup.line_corpus_dedup(
+        docs.select("doc_id", raw.alias("text")), max_line_df=10
+    )
+
+
+_SQL_LINE_DEDUP = """
+WITH src AS (
+  SELECT doc_id,
+    'intro ' || cast(doc_id AS varchar) || ' ' ||
+      array_to_string((string_split(text, ' '))[1:5], ' ') || chr(10) ||
+    'cookie notice accept all cookies' || chr(10) ||
+    'group banner ' || cast(doc_id % 7 AS varchar) || chr(10) ||
+    'unique tail ' || cast(doc_id AS varchar) AS raw
+  FROM documents WHERE doc_id < 500
+), lines AS (
+  SELECT doc_id, cast(i AS int) - 1 AS pos, ln FROM (
+    SELECT doc_id, unnest(ls) AS ln, generate_subscripts(ls, 1) AS i
+    FROM (SELECT doc_id, string_split(raw, chr(10)) AS ls FROM src))
+), hot AS (
+  SELECT ln FROM (
+    SELECT DISTINCT ln, doc_id FROM lines WHERE length(trim(ln)) > 0)
+  GROUP BY ln HAVING count(*) > 10
+)
+SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text
+FROM lines WHERE ln NOT IN (SELECT ln FROM hot)
+GROUP BY doc_id
+"""
+
+QUERIES["line_dedup"] = (_q_line_dedup, _SQL_LINE_DEDUP)
