@@ -392,3 +392,45 @@ def normalize_url(col: Column) -> Column:
     u = F.regexp_replace(u, r"\?&", "?")
     u = F.regexp_replace(u, r"(.)/$", "$1")
     return u
+
+
+# PII patterns, shared verbatim by the DuckDB twin (keep RE2-safe:
+# no lookarounds, no backrefs).
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Crawl-scale PII redaction: emails, IPv4 literals, and
+    phone-like digit runs replaced by typed placeholders. Order
+    matters: emails first (their local part can look phone-ish), IPs
+    before the generic digit-run pattern (dotted quads are a subset
+    of it), phones last. Pure regexp_replace chain (JVM-side,
+    SQL-twinnable)."""
+    out = col
+    for pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def with_rolling_fps(df, text_col: str, window_tokens: int = 8,
+                     out_col: str = "fps"):
+    """Staged rolling fingerprints (the scan form): words become a
+    real column before the window lambda touches them, so
+    normalize+split runs once per row, not once per window."""
+    staged = df.select(
+        "*",
+        F.split(normalize_text(F.col(text_col)), " ").alias("_rw"),
+    )
+    w = F.col("_rw")
+    n = F.size(w)
+    idx = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(window_tokens - 1), F.lit(1))
+    )
+    fps = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, window_tokens)))
+    )
+    return staged.select(*df.columns, fps.alias(out_col))

@@ -2278,3 +2278,107 @@ GROUP BY doc_id
 """
 
 QUERIES["line_dedup"] = (_q_line_dedup, _SQL_LINE_DEDUP)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (emails / IPv4 / phone-like runs -> typed placeholders)
+
+def _q_pii_redaction(spark, sf):
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    seeded = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@mail.example.org or "),
+        F.lit("+1 415 555 01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    return docs.select(
+        "doc_id", textfns.redact_pii(seeded).alias("redacted")
+    )
+
+
+def _sql_redact(expr: str) -> str:
+    out = expr
+    for pat, tag in textfns.PII_PATTERNS:
+        # RE2 needs the non-capturing group syntax DuckDB also accepts;
+        # patterns are shared verbatim, only the escaping context differs
+        sql_pat = pat.replace("'", "''").replace("\\", "\\")
+        out = f"regexp_replace({out}, '{sql_pat}', '{tag}', 'g')"
+    return out
+
+
+_SQL_PII_REDACTION = (
+    "SELECT doc_id, " + _sql_redact(
+        "text || ' contact user' || cast(doc_id AS varchar) || "
+        "'@mail.example.org or ' || '+1 415 555 01' || "
+        "lpad(cast(doc_id % 100 AS varchar), 2, '0') || ' at 10.0.' || "
+        "cast(doc_id % 256 AS varchar) || '.7'")
+    + " AS redacted FROM documents WHERE doc_id < 300"
+)
+
+QUERIES["pii_redaction"] = (_q_pii_redaction, _SQL_PII_REDACTION)
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: benchmark n-gram overlap via rolling fingerprints
+
+_PROBE_TEXT = (
+    "the secret benchmark question about unicode tokens appears "
+    "here exactly once verbatim"
+)
+
+
+def _sql_rolling_fps(expr: str, k: int = 8) -> str:
+    words = f"string_split({_SQL_NORM.format(c=expr)}, ' ')"
+    return (
+        f"list_transform(range(1, greatest(len({words}) - {k - 1}, 1) + 1),"
+        f" i -> md5(array_to_string(({words})[i:i+{k - 1}], ' ')))"
+    )
+
+
+def _q_decontamination(spark, sf):
+    """Docs seeded with a benchmark sentence (doc_id%10==3) must be
+    flagged by rolling-8-gram fingerprint overlap with the probe set;
+    clean docs must not. The probe fp set is tiny and travels as a
+    literal array (broadcast by closure)."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    contaminated = F.when(
+        F.col("doc_id") % 10 == 3,
+        F.concat(F.col("text"), F.lit(" " + _PROBE_TEXT)),
+    ).otherwise(F.col("text"))
+    staged = textfns.with_rolling_fps(
+        docs.select("doc_id", contaminated.alias("t")), "t"
+    )
+    probe_fps = (
+        textfns.with_rolling_fps(
+            spark.range(1).select(F.lit(_PROBE_TEXT).alias("t")), "t"
+        )
+        .collect()[0]["fps"]
+    )  # ~6 fps — bounded driver-side by construction
+    hits = F.size(
+        F.array_intersect(
+            F.col("fps"), F.array(*[F.lit(x) for x in probe_fps])
+        )
+    )
+    return (
+        staged.select("doc_id", hits.alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+_SQL_DECONTAMINATION = (
+    "WITH probe AS (SELECT "
+    + _sql_rolling_fps(f"'{_PROBE_TEXT}'")
+    + " AS pfps), "
+    "docs AS (SELECT doc_id, CASE WHEN doc_id % 10 = 3 THEN "
+    f"text || ' {_PROBE_TEXT}' ELSE text END AS t "
+    "FROM documents WHERE doc_id < 400), "
+    "scored AS (SELECT doc_id, cast(len(list_intersect("
+    + _sql_rolling_fps("t")
+    + ", pfps)) AS int) AS n_hits FROM docs, probe) "
+    "SELECT doc_id, n_hits FROM scored WHERE n_hits > 0"
+)
+
+
+QUERIES["decontamination"] = (_q_decontamination, _SQL_DECONTAMINATION)
