@@ -2382,3 +2382,61 @@ _SQL_DECONTAMINATION = (
 
 
 QUERIES["decontamination"] = (_q_decontamination, _SQL_DECONTAMINATION)
+
+
+# ---------------------------------------------------------------------------
+# Crawl frontier analytics: per-domain stats with a blocklist filter
+
+def _q_domain_stats(spark, sf):
+    """Host extraction (www-stripped) + blocklist anti-filter + path
+    depth stats per domain — the crawl-frontier rollup."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example/"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("a/b/")).otherwise(F.lit("")),
+        F.lit("p"), F.col("doc_id").cast("string"),
+    )
+    blocklist = ["site13.example", "site7.example"]
+    staged = docs.select(url.alias("url"), "n_chars")
+    host = F.regexp_replace(
+        F.regexp_extract("url", r"^[a-z]+://([^/:?#]+)", 1),
+        r"^www\.", "",
+    )
+    path = F.regexp_replace("url", r"^[a-z]+://[^/]*", "")
+    depth = F.size(F.split(path, "/")) - 2  # leading '' and the leaf
+    withd = staged.select(
+        host.alias("domain"), depth.alias("depth"), "n_chars"
+    ).filter(~F.col("domain").isin(blocklist))
+    return withd.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.max("depth").alias("max_depth"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_SQL_DOMAIN_STATS = """
+WITH src AS (
+  SELECT 'https://' ||
+         CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END ||
+         'site' || cast(doc_id % 20 AS varchar) || '.example/' ||
+         CASE WHEN doc_id % 3 = 0 THEN 'a/b/' ELSE '' END ||
+         'p' || cast(doc_id AS varchar) AS url, n_chars
+  FROM documents WHERE doc_id < 500
+), d AS (
+  SELECT regexp_replace(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1),
+                        '^www\\.', '') AS domain,
+         len(string_split(regexp_replace(url, '^[a-z]+://[^/]*', ''),
+             '/')) - 2 AS depth,
+         n_chars
+  FROM src
+)
+SELECT domain, count(*) AS n_pages, max(depth) AS max_depth,
+       sum(n_chars) AS total_chars
+FROM d WHERE domain NOT IN ('site13.example', 'site7.example')
+GROUP BY domain
+"""
+
+QUERIES["domain_stats"] = (_q_domain_stats, _SQL_DOMAIN_STATS)
