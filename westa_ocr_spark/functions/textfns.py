@@ -216,90 +216,6 @@ def rolling_fingerprints(col: Column, window_tokens: int = 8) -> Column:
     )
 
 
-def repetition_metrics(col: Column) -> dict[str, Column]:
-    """Repetition signals for crawl filtering (Rae et al.'s Gopher
-    rules, word-level): duplicate-word fraction and the fraction of
-    all word-bigrams taken by the single most frequent bigram.
-
-    Pure array expressions (JVM-side). Compact single-expression
-    form: the words/bigram arrays inline into every lambda probe and
-    re-evaluate per element — fine for one-off use on small frames,
-    but scans should use :func:`with_quality_flags`, which stages the
-    arrays as real columns first (measured ~7x on 500 docs).
-    """
-    words = F.filter(
-        F.split(normalize_text(col), " "), lambda w: F.length(w) > 0
-    )
-    n = F.size(words)
-    dup_word_frac = F.when(n > 0, round_det(
-        (n - F.size(F.array_distinct(words))).cast("double") / n, 6
-    )).otherwise(F.lit(0.0))
-    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
-    bigrams = F.when(
-        n >= 2,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 2))),
-    ).otherwise(F.array().cast("array<string>"))
-    nb = F.size(bigrams)
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(bigrams),
-            lambda x: F.size(F.filter(bigrams, lambda y: y == x)),
-        )
-    )
-    top_bigram_frac = F.when(
-        nb > 0, round_det(top_count.cast("double") / nb, 6)
-    ).otherwise(F.lit(0.0))
-    return {"dup_word_frac": dup_word_frac,
-            "top_bigram_frac": top_bigram_frac}
-
-
-def gopher_flags(col: Column,
-                 min_words: int = 50, max_words: int = 100_000,
-                 min_mean_word_len: float = 3.0,
-                 max_mean_word_len: float = 10.0,
-                 max_symbol_ratio: float = 0.1,
-                 min_stop_hits: int = 2) -> dict[str, Column]:
-    """Gopher-style document quality gate as JVM expressions.
-
-    Returns n_words, mean_word_len, symbol_ratio, stop_hits and the
-    combined boolean ``gopher_pass``; thresholds follow the published
-    Gopher filtering rules (word-count band, mean-word-length band,
-    symbol ratio, stopword presence). For scans prefer
-    :func:`with_quality_flags` (staged arrays, one evaluation each).
-    """
-    words = F.filter(
-        F.split(normalize_text(col), " "), lambda w: F.length(w) > 0
-    )
-    n = F.size(words).cast("long")
-    alnum_chars = F.length(F.concat_ws("", words)).cast("double")
-    mean_len = F.when(n > 0, round_det(alnum_chars / n, 6)).otherwise(
-        F.lit(0.0)
-    )
-    total_chars = F.length(col).cast("double")
-    # symbols: anything that is not alphanumeric/space in the RAW text
-    sym = F.length(F.regexp_replace(F.lower(col), r"[a-z0-9\s]", ""))
-    symbol_ratio = F.when(
-        total_chars > 0, round_det(sym.cast("double") / total_chars, 6)
-    ).otherwise(F.lit(0.0))
-    stop_hits = sum(
-        (_count_occurrences(col, w) for w in _LANG_STOPWORDS["en"]),
-        F.lit(0).cast("long"),
-    )
-    gopher_pass = (
-        (n >= min_words) & (n <= max_words)
-        & (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
-        & (symbol_ratio <= max_symbol_ratio)
-        & (stop_hits >= min_stop_hits)
-    )
-    return {
-        "n_words": n,
-        "mean_word_len": mean_len,
-        "symbol_ratio": symbol_ratio,
-        "stop_hits": stop_hits,
-        "gopher_pass": gopher_pass,
-    }
-
-
 def with_quality_flags(df, text_col: str):
     """Staged Gopher gate + repetition metrics (the scale path).
 
