@@ -33,6 +33,7 @@ HEADLINE = [
     "ring_buffer_topk",
     "lang_id",
     "quality_scores",
+    "gopher_quality",
     "fingerprints",
     "minhash_signatures",
     "ngram_jaccard",

@@ -87,8 +87,9 @@ def test_extraction_wholestage_codegen_around_scan(spark, pages_parquet):
 # iterative CC), so a static sweep can't inspect them meaningfully.
 _NL_BY_DESIGN = {"embedding_knn", "embedding_topk", "lsh_topk",
                  "ivf_topk", "embedding_dup_pairs"}
-_EAGER = {"stream_windowed_counts", "duplicate_groups",
-          "lsh_dup_candidates", "extract_pages_job"}
+_EAGER = {"stream_windowed_counts", "stream_session_windows",
+          "duplicate_groups", "lsh_dup_candidates", "extract_pages_job",
+          "warc_ingest"}
 
 
 def test_no_cartesian_product_in_any_registry_query(spark):

@@ -2440,3 +2440,37 @@ GROUP BY domain
 """
 
 QUERIES["domain_stats"] = (_q_domain_stats, _SQL_DOMAIN_STATS)
+
+
+# ---------------------------------------------------------------------------
+# Streaming session windows (stateful gap-merge) vs gap-island SQL
+
+def _q_stream_session_windows(spark, sf):
+    from westa_ocr_spark.streaming.stream_pipeline import (
+        session_windows_complete,
+    )
+
+    return session_windows_complete(
+        spark,
+        _t(spark, sf, "events").filter(F.col("user_id") < 200)
+        .select("ts", "user_id"),
+    )
+
+
+_SQL_STREAM_SESSION_WINDOWS = (
+    "WITH flagged AS (SELECT user_id, ts, CASE WHEN "
+    "epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
+    "> 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "THEN 1 ELSE 0 END AS new_session "
+    "FROM events WHERE user_id < 200), "
+    "islands AS (SELECT user_id, ts, sum(new_session) OVER ("
+    "PARTITION BY user_id ORDER BY ts "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess "
+    "FROM flagged) "
+    "SELECT user_id, cast(floor(epoch(min(ts))) AS bigint) "
+    "AS session_start, count(*) AS n_events "
+    "FROM islands GROUP BY user_id, sess"
+)
+
+QUERIES["stream_session_windows"] = (
+    _q_stream_session_windows, _SQL_STREAM_SESSION_WINDOWS)

@@ -236,3 +236,75 @@ def start_extraction_upsert_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_windows_complete(
+    spark: SparkSession,
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_minutes: int = 30,
+    n_files: int = 4,
+) -> DataFrame:
+    """Streaming SESSION windows (gap-merged state) with an exact
+    batch twin.
+
+    ``F.session_window`` merges a key's window state whenever a new
+    event lands within ``gap_minutes`` of the session's end — the
+    stateful operation that distinguishes sessions from tumbling
+    windows. Complete mode + availableNow over multiple micro-batches
+    exercises cross-batch session merging, and the drained result
+    equals the batch ``groupBy(session_window(...))`` — which in turn
+    equals the classic gap-island SQL (lag + running flag sum), so
+    DuckDB can verify the whole thing (registry
+    ``stream_session_windows``).
+
+    Output: (user_id, session_start epoch-seconds, n_events).
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    tag = uuid.uuid4().hex[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"sstream_{tag}")
+    src = events.select(
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(key_col).alias("key"),
+    )
+    src.repartition(n_files).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("win"),
+            "key",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"sessions_{tag}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table(name)
+        .select(
+            F.col("key").alias(key_col),
+            F.col("win.start").cast("long").alias("session_start"),
+            "n_events",
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
