@@ -2474,3 +2474,52 @@ _SQL_STREAM_SESSION_WINDOWS = (
 
 QUERIES["stream_session_windows"] = (
     _q_stream_session_windows, _SQL_STREAM_SESSION_WINDOWS)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q14: promo revenue share per ship month (broadcast part dim,
+# conditional aggregation with decimal discipline)
+
+def _q_tpch_q14(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(5,3)")
+    rev = price * (F.lit(1).cast("decimal(5,3)") - disc)
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    month = F.date_format(F.col("l_shipdate").cast("timestamp"),
+                          "yyyy-MM")
+    agg = joined.groupBy(month.alias("ship_month")).agg(
+        round_det(
+            (
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                ).cast("double")
+                * 100.0
+                / F.sum(rev).cast("double")
+            ),
+            4,
+        ).alias("promo_share_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return agg
+
+
+_SQL_TPCH_Q14 = (
+    "SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, "
+    + _sql_round_det(
+        "cast(sum(CASE WHEN p_type = 'PROMO' THEN "
+        "cast(l_extendedprice AS decimal(18,4)) * "
+        "(cast(1 AS decimal(5,3)) - cast(l_discount AS decimal(5,3))) "
+        "ELSE cast(0 AS decimal(18,4)) END) AS double) * 100.0 / "
+        "cast(sum(cast(l_extendedprice AS decimal(18,4)) * "
+        "(cast(1 AS decimal(5,3)) - cast(l_discount AS decimal(5,3)))) "
+        "AS double)", 4)
+    + " AS promo_share_pct, count(*) AS n_items "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "GROUP BY 1"
+)
+
+QUERIES["tpch_q14"] = (_q_tpch_q14, _SQL_TPCH_Q14)
