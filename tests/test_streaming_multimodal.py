@@ -242,3 +242,61 @@ def test_streaming_upsert_sink_is_idempotent(spark, tmp_path_factory):
         for r in t.read(spark).collect()
     }
     assert second == first  # exactly-once table despite full replay
+
+
+def test_watermark_drops_late_data(spark, tmp_path_factory):
+    """Late-data contract: once the watermark has passed a window, a
+    straggler row for that window (arriving in a later restart) must
+    NOT re-open it — append mode emits each finalized window exactly
+    once and the late row vanishes."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from westa_ocr_spark.streaming.stream_pipeline import (
+        start_windowed_counts_stream,
+    )
+
+    src = tmp_path_factory.mktemp("latesrc")
+    base = dt.datetime(2024, 6, 1)
+
+    def write_file(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": [base + dt.timedelta(minutes=m) for m, _ in rows],
+                    "event_type": [e for _, e in rows],
+                }
+            ),
+            str(src / name),
+        )
+
+    # batch 1: events spanning 0..120 min -> watermark advances to
+    # 120-30=90 min; windows ending <= 90 min are finalized
+    write_file("f1.parquet", [(m, "x") for m in range(0, 121, 5)])
+    schema = spark.read.parquet(str(src)).schema
+    out = str(tmp_path_factory.mktemp("lateout") / "o")
+    q = start_windowed_counts_stream(spark, str(src), out, schema)
+    q.awaitTermination(300)
+    first = {
+        (r["window_start"], r["n"])
+        for r in spark.read.parquet(f"{out}/windowed").collect()
+    }
+    assert first, "no finalized windows"
+
+    # batch 2 (same checkpoint): one LATE row for minute 3 — its
+    # window was finalized long ago -> must be dropped, not re-emitted
+    write_file("f2.parquet", [(3, "x")])
+    q2 = start_windowed_counts_stream(spark, str(src), out, schema)
+    q2.awaitTermination(300)
+    second = {
+        (r["window_start"], r["n"])
+        for r in spark.read.parquet(f"{out}/windowed").collect()
+    }
+    # nothing about already-finalized windows changed: no duplicate
+    # emission of the minute-0 window with a bumped count
+    starts_first = sorted(s for s, _ in first)
+    assert (base, 3) not in (second - first)
+    for s, n in second - first:
+        assert s > starts_first[0], (s, n)

@@ -168,3 +168,24 @@ def keyed_table(spark: SparkSession, location: str):
     if iceberg_available(spark) and "/" not in location:
         return IcebergTable(location)  # pragma: no cover
     return ParquetTable(location)
+
+
+def write_bucketed(df: DataFrame, table_name: str, key: str,
+                   n_buckets: int = 8) -> None:
+    """Persist a frame bucketed+sorted by ``key`` (saveAsTable — the
+    bucket metadata lives in the session catalog).
+
+    Bucketing pre-shuffles ONCE at write time: any later equi-join or
+    aggregation on ``key`` between tables bucketed the same way runs
+    with NO exchange — the 100-TB pattern for repeatedly-joined keyed
+    state (committed extractions, manifests, dedup groups), where one
+    write-time shuffle amortizes across every downstream run. The
+    plan-audit test asserts the bucketed self-join is exchange-free.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
