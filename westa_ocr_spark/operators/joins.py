@@ -110,3 +110,37 @@ def binned_range_join(
         & (F.col("_rsec") < F.col("_lsec") + w)
     )
     return joined.drop("_bin", "_lsec", "_rsec")
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join that survives a hot key: salt the skewed side,
+    replicate the other.
+
+    A plain shuffle join sends every row of a hot key to ONE reducer —
+    the straggler that stalls a 1000-executor stage. Here the skewed
+    side gets a deterministic salt (xxhash64 of the whole row, mod
+    n_salts — NOT rand(): retries/speculative tasks must re-salt
+    identically), the small side is exploded n_salts times, and the
+    join key becomes (key, salt), spreading the hot key over n_salts
+    reducers. Use when AQE's skew-join (which only splits oversized
+    shuffle blocks post-hoc) isn't enough or isn't available — e.g.
+    bucketed/sort-merge paths or stateful joins.
+
+    ``small`` is typically dimension-sized; its n_salts-way explode is
+    the price of balance. All columns of both frames survive.
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
+    )
+    left = skewed.withColumn("_salt", salt)
+    right = small.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+    )
+    return left.join(right, on=[on, "_salt"], how=how).drop("_salt")
