@@ -176,3 +176,25 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
                        "10485760")
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path_factory):
+    """Hive-style partitioned layout (the 100-TB crawl layout:
+    partition by lang/date): a filter on the partition column must
+    prune at PLANNING time — PartitionFilters on the scan, and only
+    the matching directory is read."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path_factory.mktemp("part") / "docs")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("lang") == "en").select(
+        "doc_id", "lang"
+    )
+    plan = _plan(df)
+    scan = [ln for ln in plan.splitlines() if "Scan parquet" in ln or
+            "PartitionFilters" in ln]
+    assert any("PartitionFilters" in ln and "lang" in ln for ln in plan.splitlines()), plan
+    n_en = df.count()
+    assert n_en == docs.filter("lang = 'en'").count()
