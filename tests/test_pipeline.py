@@ -107,3 +107,71 @@ def test_skew_repartition_balances_oversized(spark, pages_parquet):
     # not spread)
     big_counts = [r["n_big"] for r in sizes if r["n_big"] > 0]
     assert sum(big_counts) == 2
+
+
+def test_cancellation_interrupts_run_and_resume_recovers(
+    spark, tmp_path_factory
+):
+    """T6 cancellation, batch analogue: cancel_extraction interrupts
+    a tagged run mid-extraction; a follow-up run (resume on) completes
+    and the final state equals an uncancelled run's."""
+    import threading
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from westa_ocr_spark.plans.pipeline import (
+        cancel_extraction,
+        run_extraction_job,
+    )
+
+    # a pages frame whose extraction is artificially slow: the html
+    # column is fine, but we bolt a sleepy map stage in FRONT so the
+    # run is guaranteed to still be in-flight when cancel lands
+    from westa_ocr_spark.corpus import generate_rows
+
+    rows = [
+        (r["url"], r["html"]) for r in generate_rows(64)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), True),
+        ]
+    )
+    base = spark.createDataFrame(rows, schema).repartition(8)
+
+    def slow(it):
+        for pdf in it:
+            _time.sleep(4)
+            yield pdf
+
+    slow_pages = base.mapInPandas(slow, schema=schema)
+
+    out = str(tmp_path_factory.mktemp("cancel") / "o")
+    errs: list[BaseException] = []
+
+    def runner():
+        try:
+            run_extraction_job(
+                spark, slow_pages, out, resume=True,
+                run_id="r1", job_group="cancel-me",
+            )
+        except BaseException as exc:
+            errs.append(exc)
+
+    t = threading.Thread(target=runner, daemon=True)
+    t0 = _time.time()
+    t.start()
+    _time.sleep(1.5)
+    cancel_extraction(spark, "cancel-me")
+    t.join(timeout=60)
+    assert not t.is_alive()
+    assert errs, "cancelled run must raise, not succeed"
+    assert _time.time() - t0 < 30  # interrupted, not run to completion
+
+    # recovery: plain resume run completes with the full result
+    res = run_extraction_job(spark, base, out, resume=True, run_id="r2")
+    assert res.docs_in == 64
+    assert res.docs_done + res.docs_error == 64

@@ -57,6 +57,18 @@ class ExtractionResult:
     stages: dict = field(default_factory=dict)
 
 
+def cancel_extraction(spark: SparkSession, job_group: str) -> None:
+    """Cancel a running extraction launched with ``job_group``.
+
+    The batch analogue of the reference's job cancellation (T6,
+    ``/root/reference/app/worker.py`` cancel path): every Spark action
+    of the tagged run is interrupted; the staging/sink state it leaves
+    behind is exactly what checkpointed resume recovers from, so a
+    cancelled run re-runs safely.
+    """
+    spark.sparkContext.cancelJobGroup(job_group)
+
+
 def run_extraction_job(
     spark: SparkSession,
     pages: DataFrame | str,
@@ -66,14 +78,22 @@ def run_extraction_job(
     resume: bool = True,
     run_id: str = "run",
     oversized_threshold: int = OVERSIZED_THRESHOLD,
+    job_group: str | None = None,
 ) -> ExtractionResult:
     """Run the full extraction lifecycle; returns counters.
 
     ``pages`` is a DataFrame or a parquet path of the input table
-    (url, warc_ts, html, text, lang).
+    (url, warc_ts, html, text, lang). Pass ``job_group`` to make the
+    run cancellable via :func:`cancel_extraction` (interrupt-on-cancel
+    is set so running tasks stop, not just queued ones).
     """
     stages: dict[str, float] = {}
     _t0 = time.time()
+
+    if job_group is not None:
+        spark.sparkContext.setJobGroup(
+            job_group, f"extraction {run_id}", interruptOnCancel=True
+        )
 
     def _mark(name: str) -> None:
         nonlocal _t0
@@ -141,6 +161,13 @@ def run_extraction_job(
 
     def _lineage_job() -> None:
         try:
+            # job groups are thread-local: re-tag inside the thread so
+            # cancel_extraction reaches the lineage job too
+            if job_group is not None:
+                spark.sparkContext.setJobGroup(
+                    job_group, f"extraction {run_id} (lineage)",
+                    interruptOnCancel=True,
+                )
             lineage_tbl.append(lineage)
         except BaseException as exc:  # re-raised on join
             lineage_err.append(exc)
@@ -231,6 +258,14 @@ def run_extraction_job(
         raise lineage_err[0]
     _mark("lineage_join")
 
+    if job_group is not None:
+        # job groups are sticky per thread: don't tag the caller's
+        # unrelated later jobs with this run's cancellable group
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+        spark.sparkContext.setLocalProperty(
+            "spark.job.interruptOnCancel", None
+        )
+
     return ExtractionResult(
         docs_in=docs_in,
         docs_processed=run_docs,
@@ -243,4 +278,4 @@ def run_extraction_job(
     )
 
 
-__all__ = ["ExtractionResult", "run_extraction_job"]
+__all__ = ["ExtractionResult", "cancel_extraction", "run_extraction_job"]
