@@ -110,3 +110,45 @@ def test_pdf_parser_total_under_mutation(pages, pos, junk):
         assert isinstance(out, list)
     except ValueError:
         pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2000))
+def test_warc_parser_total_on_arbitrary_bytes(data):
+    """parse_warc never crashes with anything but ValueError."""
+    from westa_ocr_spark.sources.warc import parse_warc
+
+    for payload in (data, b"WARC/1.0\r\n" + data,
+                    b"\x1f\x8b" + data):
+        try:
+            recs = parse_warc(payload)
+            assert isinstance(recs, list)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=st.characters(
+                min_codepoint=33, max_codepoint=126), min_size=1,
+                max_size=40),
+            st.binary(max_size=400),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.booleans(),
+)
+def test_warc_roundtrip_arbitrary_payloads(items, gz):
+    from westa_ocr_spark.sources.warc import parse_warc, write_warc
+
+    recs = [
+        {"url": f"https://x.example/{u}", "date": "2025-01-01T00:00:00Z",
+         "html": b}
+        for u, b in items
+    ]
+    parsed = parse_warc(write_warc(recs, gzip_members=gz))
+    assert [r["payload"] for r in parsed] == [r["html"] for r in recs]
+    assert [r["url"] for r in parsed] == [r["url"] for r in recs]
