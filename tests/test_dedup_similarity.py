@@ -314,3 +314,42 @@ def test_line_corpus_dedup_semantics(spark):
     for i in range(12):
         assert out[i] == f"headline {i}\nbody text {i}"  # order kept
     assert out[99] == ""  # fully-boilerplate doc comes back empty
+
+
+def test_cms_guarantee_and_merge(spark):
+    """CMS property: estimate >= true count, overestimate bounded;
+    sketches over two halves MERGE (union + re-agg) into the sketch
+    of the whole."""
+    from pyspark.sql import functions as F
+
+    from westa_ocr_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 50).alias("k")
+    )  # every key appears exactly 80 times
+    sketch = cms_build(df, "k")
+    keys = df.select("k").distinct()
+    est = {r["key"]: r["est"] for r in
+           cms_estimate(sketch, keys, "k").collect()}
+    assert set(est) == set(range(50))
+    for k, e in est.items():
+        assert e >= 80          # never underestimates
+        assert e <= 80 + 400    # eps*N slack (w=1024, N=16k rows)
+
+    # mergeability: sketch(halfA) union sketch(halfB) re-aggregated
+    # equals sketch(whole), row for row
+    a = cms_build(df.filter("k < 25"), "k")
+    b = cms_build(df.filter("k >= 25"), "k")
+    merged = (
+        a.unionByName(b)
+        .groupBy("depth", "bucket")
+        .agg(F.sum("count").alias("count"))
+    )
+    whole = {(r["depth"], r["bucket"]): r["count"]
+             for r in sketch.collect()}
+    got = {(r["depth"], r["bucket"]): r["count"]
+           for r in merged.collect()}
+    assert got == whole

@@ -2523,3 +2523,107 @@ _SQL_TPCH_Q14 = (
 )
 
 QUERIES["tpch_q14"] = (_q_tpch_q14, _SQL_TPCH_Q14)
+
+
+# ---------------------------------------------------------------------------
+# Hypertable rollup: one scan -> continuous aggregates at several time
+# granularities (the timescale-style rollup, explode fan-out keeps it
+# a single pass + one shuffle on near-uniform (gran, bucket) keys)
+
+_ROLLUP_GRANS = [("minute", 60), ("hour", 3600), ("day", 86400)]
+
+
+def _q_hypertable_rollup(spark, sf):
+    ev = _t(spark, sf, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    staged = ev.select(
+        epoch.alias("_sec"),
+        F.col("value").cast("decimal(18,6)").alias("_val"),
+    )
+    grans = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("gran"),
+                (F.floor(F.col("_sec") / F.lit(step)) * F.lit(step)).alias(
+                    "bucket_start"
+                ),
+            )
+            for name, step in _ROLLUP_GRANS
+        ]
+    )
+    exploded = staged.select(
+        "_val", F.explode(grans).alias("g")
+    ).select("_val", "g.gran", "g.bucket_start")
+    return exploded.groupBy("gran", "bucket_start").agg(
+        F.count(F.lit(1)).alias("n"),
+        round_det(F.sum("_val").cast("double"), 4).alias("sum_value"),
+    )
+
+
+_SQL_HYPERTABLE_ROLLUP = (
+    "WITH base AS (SELECT cast(floor(epoch(ts)) AS bigint) AS sec, "
+    "cast(value AS decimal(18,6)) AS val FROM events), "
+    "fan AS ("
+    + " UNION ALL ".join(
+        f"SELECT '{name}' AS gran, "
+        f"cast(floor(sec / {step}) * {step} AS bigint) AS bucket_start, "
+        "val FROM base"
+        for name, step in _ROLLUP_GRANS
+    )
+    + ") SELECT gran, bucket_start, count(*) AS n, "
+    + _sql_round_det("cast(sum(val) AS double)", 4)
+    + " AS sum_value FROM fan GROUP BY 1, 2"
+)
+
+QUERIES["hypertable_rollup"] = (
+    _q_hypertable_rollup, _SQL_HYPERTABLE_ROLLUP)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (mergeable frequency sketch as a DataFrame)
+
+def _sql_cms_bucket(expr: str, d: int, width: int) -> str:
+    h = f"md5('cms{d}:' || cast({expr} AS varchar))"
+    v = (
+        f"(ascii(substring({h}, 1, 1)) * 65536 + "
+        f"ascii(substring({h}, 2, 1)) * 256 + "
+        f"ascii(substring({h}, 3, 1)))"
+    )
+    return f"(({v}) % {width} + {width}) % {width}"
+
+
+def _q_cms_estimates(spark, sf):
+    """Build a CMS over event user_ids, then point-estimate the first
+    30 users. The DuckDB twin rebuilds the identical sketch (same
+    md5-derived buckets), so build + estimate verify end-to-end."""
+    from westa_ocr_spark.operators.sketches import cms_build, cms_estimate
+
+    ev = _t(spark, sf, "events")
+    sketch = cms_build(ev, "user_id")
+    probes = ev.select("user_id").filter(
+        F.col("user_id") < 30
+    ).distinct()
+    return cms_estimate(sketch, probes, "user_id")
+
+
+_SQL_CMS_ESTIMATES = (
+    "WITH sketch AS ("
+    + " UNION ALL ".join(
+        f"SELECT {d} AS depth, {_sql_cms_bucket('user_id', d, 1024)} "
+        "AS bucket FROM events"
+        for d in range(4)
+    )
+    + "), agg AS (SELECT depth, bucket, count(*) AS cnt FROM sketch "
+    "GROUP BY 1, 2), "
+    "probes AS ("
+    + " UNION ALL ".join(
+        f"SELECT user_id AS key, {d} AS depth, "
+        f"{_sql_cms_bucket('user_id', d, 1024)} AS bucket "
+        "FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 30)"
+        for d in range(4)
+    )
+    + ") SELECT key, min(cnt) AS est FROM agg "
+    "JOIN probes USING (depth, bucket) GROUP BY key"
+)
+
+QUERIES["cms_estimates"] = (_q_cms_estimates, _SQL_CMS_ESTIMATES)
