@@ -124,3 +124,27 @@ def test_null_payload_survives_skew_split_as_error_row(spark):
     assert nul["status"] == "ERROR"
     assert nul["error"] == "extract: null payload"
     assert nul["input_bytes"] == 0
+
+
+def test_span_invariants_over_corpus():
+    """Span contract over 300 corpus docs: per block, 0 <= start <=
+    end; blocks ordered, non-overlapping; end offsets within the
+    utf-8 byte length of the text; slicing the text bytes by each
+    span reproduces a decodable utf-8 segment."""
+    from westa_ocr_spark.corpus import generate_rows
+    from westa_ocr_spark.operators.extract import extract_rows
+
+    checked = 0
+    for row in generate_rows(300):
+        for out in extract_rows(row["url"], row["html"]):
+            if out["status"] != "DONE" or not out["spans"]:
+                continue
+            data = out["text"].encode("utf-8")
+            prev_end = -1
+            for sp in out["spans"]:
+                assert 0 <= sp["start"] <= sp["end"] <= len(data), sp
+                assert sp["start"] > prev_end, (sp, prev_end)
+                prev_end = sp["end"]
+                data[sp["start"]:sp["end"]].decode("utf-8")  # no error
+                checked += 1
+    assert checked > 500  # the corpus really exercised spans

@@ -107,6 +107,19 @@ def run_extraction_job(
     manifest_tbl = ParquetTable(f"{out_dir}/manifest")
     lineage_tbl = ParquetTable(f"{out_dir}/lineage")
 
+    # sweep leftovers of cancelled/crashed runs: every temp dir is
+    # re-derived from scratch by the run that needs it, so stale ones
+    # are pure garbage (committed state lives only in the three
+    # tables above, which have their own crash recovery)
+    import os
+
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.startswith(("_staging_", "_manifest_opt_",
+                                "_dedup_")):
+                shutil.rmtree(os.path.join(out_dir, name),
+                              ignore_errors=True)
+
     # prune to the two columns extraction needs; the parquet scan then
     # reads only url+html (ReadSchema pruning).
     work = pages.select("url", "html")
