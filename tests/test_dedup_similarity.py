@@ -353,3 +353,35 @@ def test_cms_guarantee_and_merge(spark):
     got = {(r["depth"], r["bucket"]): r["count"]
            for r in merged.collect()}
     assert got == whole
+
+
+def test_run_dedup_job_end_to_end(spark):
+    """Exact dup, near-dup chain, and unique docs all resolved in one
+    job: 7 in -> 3 out (1 exact dup dropped, 2 near-dup chain members
+    dropped, canonical + uniques survive)."""
+    from westa_ocr_spark.plans.dedup_pipeline import run_dedup_job
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    words = base.split()
+    near1 = list(words); near1[3] = "changed"
+    near2 = list(near1); near2[-1] = "altered"
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup of 1
+        (3, " ".join(near1)),           # near-dup of 1
+        (4, " ".join(near2)),           # near-dup of 3 (chain)
+        (5, "a completely different document about spark and arrow "
+            "with plenty of its own words to stand alone in a corpus"),
+        (6, "yet another standalone text concerning parquet footers "
+            "and shuffle partitions that resembles nothing else here"),
+        (7, ""),                        # empty doc
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    res = run_dedup_job(docs)
+    assert res.docs_in == 7
+    assert res.exact_survivors == 6        # doc 2 dropped (exact)
+    assert res.near_dup_groups == 1        # {1, 3, 4}
+    ids = sorted(r["doc_id"] for r in res.survivors.collect())
+    assert ids == [1, 5, 6, 7]
+    assert res.docs_out == 4
