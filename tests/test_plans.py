@@ -198,3 +198,25 @@ def test_partition_pruning_reaches_scan(spark, tmp_path_factory):
     assert any("PartitionFilters" in ln and "lang" in ln for ln in plan.splitlines()), plan
     n_en = df.count()
     assert n_en == docs.filter("lang = 'en'").count()
+
+
+def test_q6_filters_push_to_scan(spark):
+    """TPC-H q6 is THE pushdown benchmark: discount/quantity/shipdate
+    predicates must appear in the parquet scan's PushedFilters, and
+    ReadSchema must carry only the three needed columns."""
+    import contextlib
+    import io
+
+    from westa_ocr_spark.registry import QUERIES
+
+    df = QUERIES["tpch_q6"][0](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")  # full, untruncated filter lists
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    for frag in ("GreaterThanOrEqual(l_discount,0.05)",
+                 "LessThan(l_quantity,24.0)"):
+        assert frag in plan, plan
+    scan_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_schema and "l_orderkey" not in scan_schema[0]

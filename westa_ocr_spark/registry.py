@@ -2627,3 +2627,38 @@ _SQL_CMS_ESTIMATES = (
 )
 
 QUERIES["cms_estimates"] = (_q_cms_estimates, _SQL_CMS_ESTIMATES)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q6: forecast revenue change — the classic predicate-pushdown
+# scan (every filter reaches the parquet reader; asserted in
+# tests/test_plans.py)
+
+def _q_tpch_q6(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(5,3)")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= "2024-01-01")
+        & (F.col("l_shipdate") < "2025-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        round_det(F.sum(price * disc).cast("double"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_SQL_TPCH_Q6 = (
+    "SELECT "
+    + _sql_round_det(
+        "cast(sum(cast(l_extendedprice AS decimal(18,4)) * "
+        "cast(l_discount AS decimal(5,3))) AS double)", 2)
+    + " AS revenue, count(*) AS n_items FROM lineitem "
+    "WHERE l_shipdate >= '2024-01-01' AND l_shipdate < '2025-01-01' "
+    "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+)
+
+QUERIES["tpch_q6"] = (_q_tpch_q6, _SQL_TPCH_Q6)
