@@ -1,0 +1,79 @@
+"""Multimodal (image/video payload) queries: synthetic-but-real media
+bytes, header-parse features, frame sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from westa_ocr_spark.functions import textfns  # noqa: F401
+from westa_ocr_spark.functions.textfns import round_det  # noqa: F401
+from westa_ocr_spark.queries.common import (  # noqa: F401
+    _SQL_NORM, _SQL_WORDS, _sql_lang_best, _sql_lang_from_best,
+    _sql_lang_scores, _sql_occ, _sql_punct_ratio, _sql_quality,
+    _sql_round_det, _sql_shingles, _sql_simhash16, _sql_stop_ratio,
+    _sql_token_count, _t,
+)
+
+# ---------------------------------------------------------------------------
+# Multimodal + page-payload operators as rows-only queries (binary
+# inputs synthesized deterministically from the documents table)
+
+def _media_df(spark, sf):
+    """Synthetic media table: REAL png/jpeg/gif bytes (round 2 —
+    correct CRCs, SOF segments, screen descriptors) with dimensions
+    derived from doc_id, plus a garbage leg for the ERROR path."""
+    from westa_ocr_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 16 + i % 32, 16 + (i * 7) % 32
+                if i % 4 == 0:
+                    blob = mm.write_jpeg(w, h)
+                elif i % 4 == 1:
+                    blob = mm.write_png(w, h)
+                elif i % 4 == 2:
+                    blob = mm.write_gif(w, h)
+                else:
+                    blob = b"not an image " + str(i).encode()
+                urls.append(f"doc://{i}")
+                blobs.append(blob)
+            yield pd.DataFrame({"url": urls, "data": blobs})
+
+    schema = "url string, data binary"
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+def _q_media_features(spark, sf):
+    from westa_ocr_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    return extract_image_features(_media_df(spark, sf))
+
+
+def _q_frame_sampling(spark, sf):
+    from westa_ocr_spark.operators.multimodal import sample_frames
+
+    out = sample_frames(_media_df(spark, sf))
+    return out.select(
+        "url", "frame_index", "status",
+        F.octet_length("frame").alias("frame_bytes"),
+    )
+
+
+
+
+
+# name -> (Spark DataFrame fn, DuckDB oracle SQL or None).
+DEFS = {
+    "media_features": (_q_media_features, None),
+    "frame_sampling": (_q_frame_sampling, None),
+}

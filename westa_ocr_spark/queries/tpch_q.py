@@ -1,0 +1,334 @@
+"""TPC-H analytics queries (q1/q3/q5/q6/q10/q14/q18) over the driver
+parquet tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from westa_ocr_spark.functions import textfns  # noqa: F401
+from westa_ocr_spark.functions.textfns import round_det  # noqa: F401
+from westa_ocr_spark.queries.common import (  # noqa: F401
+    _SQL_NORM, _SQL_WORDS, _sql_lang_best, _sql_lang_from_best,
+    _sql_lang_scores, _sql_occ, _sql_punct_ratio, _sql_quality,
+    _sql_round_det, _sql_shingles, _sql_simhash16, _sql_stop_ratio,
+    _sql_token_count, _t,
+)
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytics (decimal-exact money math)
+
+def _q_tpch_q1(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(5,3)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            round_det(F.sum(price).cast("double"), 2).alias(
+                "sum_base_price"
+            ),
+            round_det(
+                F.sum(price * (F.lit(1).cast("decimal(5,3)") - disc)).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_disc_price"),
+            round_det(
+                F.sum(disc).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_TPCH_Q1 = (
+    "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+    + _sql_round_det(
+        "cast(sum(cast(l_extendedprice AS decimal(18,4))) AS double)", 2)
+    + " AS sum_base_price, "
+    + _sql_round_det(
+        "cast(sum(cast(l_extendedprice AS decimal(18,4)) * "
+        "(cast(1 AS decimal(5,3)) - cast(l_discount AS decimal(5,3)))) "
+        "AS double)", 2)
+    + " AS sum_disc_price, "
+    + _sql_round_det(
+        "cast(sum(cast(l_discount AS decimal(5,3))) AS double) / count(*)",
+        6)
+    + " AS avg_disc, count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus"
+)
+
+
+def _q_tpch_q3(spark, sf):
+    cust = _t(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(5,3)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            round_det(
+                F.sum(price * (F.lit(1).cast("decimal(5,3)") - disc)).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+_SQL_TPCH_Q3 = (
+    "SELECT o_orderkey, o_orderdate, "
+    + _sql_round_det(
+        "cast(sum(cast(l_extendedprice AS decimal(18,4)) * "
+        "(cast(1 AS decimal(5,3)) - cast(l_discount AS decimal(5,3)))) "
+        "AS double)", 2)
+    + " AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "GROUP BY o_orderkey, o_orderdate "
+    "ORDER BY revenue DESC, o_orderkey LIMIT 10"
+)
+
+
+
+
+def _q_tpch_q5(spark, sf):
+    # q5-style 6-way join: revenue per nation for one region — the
+    # join-reordering / broadcast-dimension showcase (Catalyst picks
+    # BHJ for region/nation/supplier, SMJ for the fact tables)
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(5,3)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            round_det(
+                F.sum(price * (F.lit(1).cast("decimal(5,3)") - disc)).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_SQL_TPCH_Q5 = (
+    "SELECT n_name, "
+    + _sql_round_det(
+        "cast(sum(cast(l_extendedprice AS decimal(18,4)) * "
+        "(cast(1 AS decimal(5,3)) - cast(l_discount AS decimal(5,3)))) "
+        "AS double)", 2)
+    + " AS revenue, count(*) AS n_items "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey "
+    "GROUP BY n_name"
+)
+
+
+def _q_tpch_q18(spark, sf):
+    # q18-style: large orders (HAVING over grouped fact) joined back
+    # to customers — aggregate-filter + rejoin pattern
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            round_det(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+_SQL_TPCH_Q18 = (
+    "SELECT c_name, o_orderkey, o_orderdate, "
+    + _sql_round_det("o_totalprice", 2)
+    + " AS o_totalprice, total_qty "
+    "FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty "
+    "FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey"
+)
+
+
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q10: returned-item revenue per customer, top 20 (join-heavy
+# agg + total-order limit; broadcast nation dim)
+
+def _q_tpch_q10(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(5,3)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        round_det(
+            F.sum(price * (F.lit(1).cast("decimal(5,3)") - disc)).cast(
+                "double"
+            ),
+            2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_returned"),
+    )
+    return agg.orderBy(F.desc("revenue"), "c_custkey").limit(20)
+
+
+_SQL_TPCH_Q10 = (
+    "SELECT c_custkey, c_name, n_name, "
+    + _sql_round_det(
+        "cast(sum(cast(l_extendedprice AS decimal(18,4)) * "
+        "(cast(1 AS decimal(5,3)) - cast(l_discount AS decimal(5,3)))) "
+        "AS double)", 2)
+    + " AS revenue, count(*) AS n_returned "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE l_returnflag = 'R' "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20"
+)
+
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q14: promo revenue share per ship month (broadcast part dim,
+# conditional aggregation with decimal discipline)
+
+def _q_tpch_q14(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(5,3)")
+    rev = price * (F.lit(1).cast("decimal(5,3)") - disc)
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    month = F.date_format(F.col("l_shipdate").cast("timestamp"),
+                          "yyyy-MM")
+    agg = joined.groupBy(month.alias("ship_month")).agg(
+        round_det(
+            (
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                ).cast("double")
+                * 100.0
+                / F.sum(rev).cast("double")
+            ),
+            4,
+        ).alias("promo_share_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return agg
+
+
+_SQL_TPCH_Q14 = (
+    "SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, "
+    + _sql_round_det(
+        "cast(sum(CASE WHEN p_type = 'PROMO' THEN "
+        "cast(l_extendedprice AS decimal(18,4)) * "
+        "(cast(1 AS decimal(5,3)) - cast(l_discount AS decimal(5,3))) "
+        "ELSE cast(0 AS decimal(18,4)) END) AS double) * 100.0 / "
+        "cast(sum(cast(l_extendedprice AS decimal(18,4)) * "
+        "(cast(1 AS decimal(5,3)) - cast(l_discount AS decimal(5,3)))) "
+        "AS double)", 4)
+    + " AS promo_share_pct, count(*) AS n_items "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "GROUP BY 1"
+)
+
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q6: forecast revenue change — the classic predicate-pushdown
+# scan (every filter reaches the parquet reader; asserted in
+# tests/test_plans.py)
+
+def _q_tpch_q6(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(5,3)")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= "2024-01-01")
+        & (F.col("l_shipdate") < "2025-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        round_det(F.sum(price * disc).cast("double"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_SQL_TPCH_Q6 = (
+    "SELECT "
+    + _sql_round_det(
+        "cast(sum(cast(l_extendedprice AS decimal(18,4)) * "
+        "cast(l_discount AS decimal(5,3))) AS double)", 2)
+    + " AS revenue, count(*) AS n_items FROM lineitem "
+    "WHERE l_shipdate >= '2024-01-01' AND l_shipdate < '2025-01-01' "
+    "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+)
+
+
+
+
+# name -> (Spark DataFrame fn, DuckDB oracle SQL or None).
+DEFS = {
+    "tpch_q1": (_q_tpch_q1, _SQL_TPCH_Q1),
+    "tpch_q3": (_q_tpch_q3, _SQL_TPCH_Q3),
+    "tpch_q5": (_q_tpch_q5, _SQL_TPCH_Q5),
+    "tpch_q6": (_q_tpch_q6, _SQL_TPCH_Q6),
+    "tpch_q10": (_q_tpch_q10, _SQL_TPCH_Q10),
+    "tpch_q14": (_q_tpch_q14, _SQL_TPCH_Q14),
+    "tpch_q18": (_q_tpch_q18, _SQL_TPCH_Q18),
+}
