@@ -123,3 +123,24 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_salted_join_left_and_rejects_outer(spark):
+    """Left joins preserve unmatched skewed rows exactly once; right/
+    full joins are rejected (the replicated small side would emit
+    n_salts copies of every unmatched small-side row)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from westa_ocr_spark.operators.joins import salted_join
+
+    skewed = spark.createDataFrame(
+        [("hot", i) for i in range(20)] + [("lonely", 99)], ["k", "v"]
+    )
+    dim = spark.createDataFrame([("hot", 1), ("unmatched", 2)], ["k", "w"])
+    left = salted_join(skewed, dim, "k", how="left").select("k", "v", "w")
+    rows = sorted(map(tuple, left.collect()))
+    assert ("lonely", 99, None) in rows and len(rows) == 21
+    for how in ("right", "full", "outer"):
+        with _pytest.raises(ValueError, match="unsupported"):
+            salted_join(skewed, dim, "k", how=how)

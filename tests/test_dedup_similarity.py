@@ -355,6 +355,30 @@ def test_cms_guarantee_and_merge(spark):
     assert got == whole
 
 
+def test_cms_absent_key_estimates_zero(spark):
+    """A probe key the sketch never saw must estimate 0 whenever ANY
+    of its depth buckets is empty — and must always produce an output
+    row (the pre-fix inner join dropped empty depths from the min,
+    inflating the estimate, and emitted no row at all for a key with
+    all-empty buckets)."""
+    from pyspark.sql import functions as F
+
+    from westa_ocr_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.range(0, 40).select((F.col("id") % 4).alias("k"))
+    sketch = cms_build(df, "k")  # 4 keys -> at most 4 buckets per depth
+    probes = spark.createDataFrame(
+        [(f"absent_{i}",) for i in range(64)], ["k"]
+    )
+    est = {r["key"]: r["est"] for r in
+           cms_estimate(sketch, probes, "k").collect()}
+    assert len(est) == 64  # every probe key yields a row
+    # with 4 occupied buckets out of 1024 per depth x 4 depths, the
+    # chance an absent key collides in ALL depths is ~(4/1024)^4; 64
+    # independent probes must therefore all see an empty depth -> 0
+    assert all(v == 0 for v in est.values()), est
+
+
 def test_run_dedup_job_end_to_end(spark):
     """Exact dup, near-dup chain, and unique docs all resolved in one
     job: 7 in -> 3 out (1 exact dup dropped, 2 near-dup chain members

@@ -146,6 +146,23 @@ def test_incremental_update_later_object_wins():
     assert extract_pdf_pages(pdf + tail) == ["new text"]
 
 
+def test_obj_header_inside_stream_payload_is_ignored():
+    """Binary stream payloads can contain 'N G obj' byte sequences; a
+    parseable garbage match must not clobber the real object under
+    later-definition-wins (pre-fix: this embedded '5 0 obj << >>'
+    replaced content stream 5 and silently dropped the page text)."""
+    pdf = write_pdf(["real page text"])
+    # splice a fake redefinition of the content stream INTO an
+    # unreferenced stream object appended before EOF; an honest
+    # /Length covers the payload, so the scanner knows its extent
+    payload = b"garbage 5 0 obj\n<< >>\nendobj more garbage"
+    extra = (
+        b"9 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        b"%%%%EOF\n" % (len(payload), payload)
+    )
+    assert extract_pdf_pages(pdf + extra) == ["real page text"]
+
+
 def test_lzw_filter_roundtrip():
     """LZWDecode: encode a content stream with a reference LZW
     compressor and splice it into a PDF; the parser must decode it."""

@@ -158,6 +158,32 @@ def test_gopher_flags_semantics(spark):
     assert out[1]["dup_word_frac"] < 0.6
 
 
+def test_gopher_long_doc_linearithmic(spark):
+    """top_bigram_frac must stay linearithmic per row: a 200k-word doc
+    (2x the Gopher upper bound) with a 10%-repeated bigram finishes in
+    seconds (the retired distinct-x-filter form was O(n^2) — ~1e10
+    comparisons for this row) and yields the exact frequency."""
+    import time
+
+    from westa_ocr_spark.functions.textfns import with_quality_flags
+
+    words = []
+    for i in range(100_000):
+        words.append("spam ham" if i % 10 == 0 else f"w{i % 7919} x{i % 613}")
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    t0 = time.time()
+    row = (
+        with_quality_flags(df, "text")
+        .select("n_words", "top_bigram_frac")
+        .collect()[0]
+    )
+    elapsed = time.time() - t0
+    assert row["n_words"] == 200_000
+    # 10,000 'spam ham' bigrams out of 199,999
+    assert abs(row["top_bigram_frac"] - 0.05) < 1e-4
+    assert elapsed < 60, f"quadratic regression? took {elapsed:.1f}s"
+
+
 def test_normalize_url_rules(spark):
     from pyspark.sql import functions as F
 
@@ -173,6 +199,17 @@ def test_normalize_url_rules(spark):
         "https://x.y/path/": "https://x.y/path",
         "ftp://Host/One": "ftp://host/One",  # path case preserved
         "https://x.y": "https://x.y",
+        # port strip is authority-only: ':443/' inside a path survives
+        "https://x.y/redir/http:443/next": "https://x.y/redir/http:443/next",
+        "https://x.y:8080/p": "https://x.y:8080/p",  # non-default port kept
+        # tracking-param strip is [?&]-anchored
+        "https://x.y/p?myfbclid=1": "https://x.y/p?myfbclid=1",
+        "https://x.y/p?a=1&xutm_foo=2": "https://x.y/p?a=1&xutm_foo=2",
+        # leading tracking param: '?' restored for the first kept param
+        "https://x.y/p?utm_source=a&q=2": "https://x.y/p?q=2",
+        # consecutive tracking params all stripped in one pass
+        "https://x.y/p?utm_a=1&utm_b=2&q=3": "https://x.y/p?q=3",
+        "https://x.y/p?q=1&utm_a=2&utm_b=3": "https://x.y/p?q=1",
     }
     df = spark.createDataFrame([(k,) for k in cases], ["url"])
     got = {r["url"]: r["n"] for r in

@@ -237,10 +237,14 @@ def with_quality_flags(df, text_col: str):
     idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
     stage2 = stage1.select(
         "*",
-        F.when(
-            n >= 2,
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, 2))),
-        ).otherwise(F.array().cast("array<string>")).alias("_qbg"),
+        F.array_sort(
+            F.when(
+                n >= 2,
+                F.transform(
+                    idx, lambda i: F.concat_ws(" ", F.slice(w, i, 2))
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_qbg"),
     )
     bg = F.col("_qbg")
     nb = F.size(bg)
@@ -258,11 +262,28 @@ def with_quality_flags(df, text_col: str):
     symbol_ratio = F.when(
         total_chars > 0, round_det(sym.cast("double") / total_chars, 6)
     ).otherwise(F.lit(0.0))
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(bg),
-            lambda x: F.size(F.filter(bg, lambda y: y == x)),
-        )
+    # Longest equal run over the SORTED bigram array: one O(n) fold
+    # (the sort is O(n log n) at construction above). The previous
+    # distinct-x-filter scan was O(n^2) per row — a 100k-word Gopher
+    # upper-bound doc cost ~1e10 comparisons in a single task.
+    top_count = F.aggregate(
+        bg,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return stage2.select(
         *df.columns,
@@ -289,10 +310,14 @@ def normalize_url(col: Column) -> Column:
 
     1. drop the fragment (``#…``);
     2. lowercase the scheme+host prefix;
-    3. drop default ports (``:80``/``:443``);
-    4. strip tracking params (``utm_*``, ``fbclid``, ``gclid``) and
-       tidy leftover ``?``/``&`` separators;
-    5. drop a trailing slash on a non-root path.
+    3. drop default ports (``:80``/``:443``) — applied to the
+       authority only, so ``:443/`` inside a path segment survives;
+    4. strip tracking params (``utm_*``, ``fbclid``, ``gclid``),
+       anchored at a ``?``/``&`` boundary so ``myfbclid=`` or
+       ``xutm_foo=`` in other params survive, then restore the lost
+       ``?`` if the first kept param had followed a stripped one;
+    5. drop a trailing slash (including the bare root slash —
+       http(s) treats the empty path and ``/`` as the same resource).
 
     Regex-only on purpose: the identical patterns run in DuckDB, so
     the oracle verifies every step (a urllib-based UDF could not be
@@ -301,11 +326,10 @@ def normalize_url(col: Column) -> Column:
     u = F.regexp_replace(col, r"#.*$", "")
     head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
     rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
-    u = F.concat(F.lower(head), rest)
-    u = F.regexp_replace(u, r":(80|443)(/|\?|$)", "$2")
-    u = F.regexp_replace(u, r"(utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*&?", "")
+    u = F.concat(F.regexp_replace(F.lower(head), r":(80|443)$", ""), rest)
+    u = F.regexp_replace(u, r"[?&](utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*", "")
+    u = F.regexp_replace(u, r"^([^?]*)&", "$1?")
     u = F.regexp_replace(u, r"[?&]+$", "")
-    u = F.regexp_replace(u, r"\?&", "?")
     u = F.regexp_replace(u, r"(.)/$", "$1")
     return u
 

@@ -402,7 +402,15 @@ class PdfDocument:
 
     def _scan(self) -> None:
         data = self.data
+        # binary stream payloads can contain 'N G obj' byte sequences;
+        # a parseable garbage match would clobber the real object N
+        # (later-definition-wins), so matches inside an already-sliced
+        # stream extent are skipped. finditer is forward-only and
+        # streams are disjoint, so one high-water mark suffices.
+        skip_until = 0
         for m in _OBJ_HDR.finditer(data):
+            if m.start() < skip_until:
+                continue  # header bytes inside a stream payload
             num = int(m.group(1))
             try:
                 val, pos = parse_object(data, m.end())
@@ -417,11 +425,13 @@ class PdfDocument:
                     b"\r", pos
                 ):
                     pos += 1
-                val = StreamObj(val, self._slice_stream(val, pos))
+                payload, stream_end = self._slice_stream(val, pos)
+                skip_until = max(skip_until, stream_end)
+                val = StreamObj(val, payload)
             # file order: a later definition (incremental update) wins
             self.objects[num] = val
 
-    def _slice_stream(self, d: dict, start: int) -> bytes:
+    def _slice_stream(self, d: dict, start: int) -> tuple[bytes, int]:
         data = self.data
         length = d.get("Length")
         if isinstance(length, Ref):
@@ -440,7 +450,7 @@ class PdfDocument:
             end = start + length
             tail = data[end : end + 20]
             if b"endstream" in _skip_to_token(tail):
-                return data[start:end]
+                return data[start:end], end
         # tolerant fallback: the /Length lied (or was absent)
         end = data.find(b"endstream", start)
         if end < 0:
@@ -450,7 +460,7 @@ class PdfDocument:
             seg = seg[:-2]
         elif seg.endswith(b"\n") or seg.endswith(b"\r"):
             seg = seg[:-1]
-        return seg
+        return seg, end
 
     def _expand_object_streams(self) -> None:
         """PDF 1.5 object streams: compressed container objects."""

@@ -134,7 +134,18 @@ def salted_join(
 
     ``small`` is typically dimension-sized; its n_salts-way explode is
     the price of balance. All columns of both frames survive.
+
+    Only inner/left joins are supported: the small side exists in
+    n_salts replicated copies, so a right/full join would emit
+    n_salts duplicates of every unmatched small-side row.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the replicated "
+            "small side would duplicate unmatched rows under "
+            "right/full joins"
+        )
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
     )

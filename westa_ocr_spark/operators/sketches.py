@@ -71,6 +71,11 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
     A bucket the key shares with no other value gives the exact
     count; collisions only ever ADD, so est >= true frequency
     (the CMS guarantee — property-tested).
+
+    Probes LEFT-join the sketch so a (depth, bucket) the sketch never
+    saw contributes its exact 0 to the min (an inner join would drop
+    that depth and inflate the estimate — or emit no row at all for a
+    key absent from every bucket, instead of est=0).
     """
     probes = keys.select(
         F.col(key_col).alias("key"),
@@ -86,5 +91,9 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
             )
         ).alias("r"),
     ).select("key", "r.depth", "r.bucket")
-    joined = sketch.join(F.broadcast(probes), ["depth", "bucket"])
-    return joined.groupBy("key").agg(F.min("count").alias("est"))
+    # The sketch side is broadcast: it is bounded by depth*width rows
+    # by construction, while the probe side may be arbitrarily large.
+    joined = probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+    return joined.groupBy("key").agg(
+        F.min(F.coalesce(F.col("count"), F.lit(0))).alias("est")
+    )

@@ -189,6 +189,15 @@ def run_extraction_job(
     lineage_thread.start()
     _mark("lineage_submit")
 
+    def _join_lineage() -> None:
+        # The lineage job scans ``staged``'s files; call this BEFORE
+        # any branch that deletes or replaces them (staging rmtree,
+        # dup-key sink rewrite), or the still-running scan would hit
+        # missing files and fail a run whose sink already committed.
+        lineage_thread.join()
+        if lineage_err:
+            raise lineage_err[0]
+
     # fresh-sink runs: build the manifest OPTIMISTICALLY in parallel
     # with the key-stats job (both scan the same staged output, and
     # duplicate keys — the one case that invalidates it — are rare and
@@ -247,6 +256,9 @@ def run_extraction_job(
             # rare: duplicate urls inside the very first batch —
             # rewrite the sink deduplicated; the optimistic manifest
             # summarized pre-dedup rows, so discard and rebuild.
+            # Lineage still reads the pre-rewrite files: drain it
+            # before replacing them.
+            _join_lineage()
             shutil.rmtree(opt_manifest_path, ignore_errors=True)
             deduped = staged.dropDuplicates(["url", "page_index"])
             tmp = ParquetTable(f"{out_dir}/_dedup_{run_id}")
@@ -277,6 +289,7 @@ def run_extraction_job(
             )
         )
         manifest_tbl.merge_upsert(spark, run_manifest, keys=["url"])
+        _join_lineage()  # lineage scans staging_path — drain first
         shutil.rmtree(staging_path, ignore_errors=True)
     _mark("sink_and_manifest")
 
@@ -307,9 +320,7 @@ def run_extraction_job(
         rows_written = sum(r["rows"] for r in stats)
     _mark("counters")
 
-    lineage_thread.join()
-    if lineage_err:
-        raise lineage_err[0]
+    _join_lineage()  # no-op if a branch above already drained it
     _mark("lineage_join")
 
     if job_group is not None:

@@ -172,13 +172,13 @@ WITH raw AS (
         regexp_replace(
           regexp_replace(
             lower(regexp_extract(regexp_replace(url, '#.*$', ''),
-              '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) ||
-            regexp_replace(regexp_replace(url, '#.*$', ''),
-              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
-            ':(80|443)(/|\\?|$)', '\\2'),
-          '(utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
-        '[?&]+$', ''),
-      '\\?&', '?'),
+              '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+            ':(80|443)$', '') ||
+          regexp_replace(regexp_replace(url, '#.*$', ''),
+            '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+          '[?&](utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+        '^([^?]*)&', '\\1?'),
+      '[?&]+$', ''),
     '(.)/$', '\\1') AS url_norm
   FROM raw
 )
