@@ -355,6 +355,40 @@ def test_cms_guarantee_and_merge(spark):
     assert got == whole
 
 
+def test_line_dedup_broadcast_gate(spark):
+    """A hot-line list bigger than the gate must run as a SHUFFLE
+    anti-join (no BroadcastExchange), and the result must match the
+    broadcast path exactly — at crawl scale the >max_line_df line set
+    is unbounded, so the hint must be proven, not hoped."""
+    from pyspark.sql import functions as F
+
+    from westa_ocr_spark.operators.dedup import line_corpus_dedup
+
+    boiler = "cookie banner\nnav crumb\nshare bar"
+    docs = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(boiler + "\n"), F.lit("unique line "), F.col("id")
+        ).alias("text"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = line_corpus_dedup(docs, max_line_df=10, broadcast_gate=1)
+        plan = gated._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+        hinted = line_corpus_dedup(docs, max_line_df=10)
+        hplan = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in hplan, hplan
+        assert sorted(map(tuple, gated.collect())) == sorted(
+            map(tuple, hinted.collect())
+        )
+        got = {r["doc_id"]: r["text"] for r in gated.collect()}
+        assert got[5] == "unique line 5"  # boilerplate stripped
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_cms_absent_key_estimates_zero(spark):
     """A probe key the sketch never saw must estimate 0 whenever ANY
     of its depth buckets is empty — and must always produce an output

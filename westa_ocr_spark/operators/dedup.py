@@ -32,6 +32,25 @@ from westa_ocr_spark.functions.textfns import (
 
 MINHASH_SEEDS = ["s0", "s1", "s2", "s3"]
 
+# Row-count gate for broadcast hints on derived "hot key" lists. At
+# crawl scale a boilerplate-line or stop-shingle list can reach
+# hundreds of millions of rows — an unbounded driver/executor-memory
+# broadcast. ~2M md5-sized rows is ~100 MB serialized, a safe hint.
+BROADCAST_ROW_GATE = 2_000_000
+
+
+def _gated_broadcast(df: DataFrame, gate: int = BROADCAST_ROW_GATE):
+    """Broadcast hint gated on an ACTUAL bounded count, not hope.
+
+    ``limit(gate+1).count()`` proves the side is small enough without
+    scanning past the gate; an oversized side is returned unhinted so
+    the join falls back to a shuffle (hash) join instead of an
+    unbounded broadcast.
+    """
+    if df.limit(gate + 1).count() <= gate:
+        return F.broadcast(df)
+    return df
+
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
@@ -163,9 +182,10 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     shared by 1% of a crawl would otherwise create a ~quadratic
     candidate bucket in the self-join (the 100-TB skew killer). High-DF
     shingles carry no Jaccard signal, so they are dropped from the
-    shingle sets *before* sizes and the join — the hot-shingle list is
-    tiny and broadcast, so the cap costs one extra aggregation, not a
-    shuffle of the exploded frame.
+    shingle sets *before* sizes and the join. The hot-shingle list is
+    usually tiny, so it is broadcast — but only after a counted gate
+    proves it (df > max_df CAN be huge on adversarial corpora); past
+    the gate the anti-join runs as a shuffle join instead.
 
     Output: (doc_a, doc_b, shared, size_a, size_b, jaccard) with
     doc_a < doc_b, ordered by (jaccard desc, doc_a, doc_b).
@@ -178,7 +198,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             .filter(F.col("df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = sh.join(_gated_broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -600,7 +620,9 @@ def keep_canonical(docs: DataFrame, id_col: str = "doc_id",
 
 def line_corpus_dedup(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
-                      max_line_df: int = 10) -> DataFrame:
+                      max_line_df: int = 10,
+                      broadcast_gate: int = BROADCAST_ROW_GATE,
+                      ) -> DataFrame:
     """C4-style cross-corpus line dedup: drop every line that occurs
     in more than ``max_line_df`` documents (navigation crumbs, cookie
     banners, share bars — the lines that survive per-document
@@ -628,7 +650,7 @@ def line_corpus_dedup(docs: DataFrame, id_col: str = "doc_id",
         .select("line_fp")
     )
     kept = lines.join(
-        F.broadcast(hot),
+        _gated_broadcast(hot, gate=broadcast_gate),
         F.md5(F.col("line")) == hot["line_fp"],
         "left_anti",
     )
