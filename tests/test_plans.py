@@ -200,6 +200,29 @@ def test_partition_pruning_reaches_scan(spark, tmp_path_factory):
     assert n_en == docs.filter("lang = 'en'").count()
 
 
+def test_incremental_sink_read_is_partition_pruned(
+        spark, pages_parquet, tmp_path_factory):
+    """The incremental manifest path must read the committed sink with
+    PartitionFilters on url_bucket (this run's buckets only) — not a
+    full-table scan that grows with the sink."""
+    from westa_ocr_spark.plans.pipeline import (
+        committed_for_run,
+        run_extraction_job,
+    )
+    from westa_ocr_spark.sources.tables import ParquetTable
+
+    out = str(tmp_path_factory.mktemp("inc") / "job")
+    run_extraction_job(spark, pages_parquet, out, run_id="r1")
+    tbl = ParquetTable(f"{out}/extracted", partition_by="url_bucket")
+    # a small "second batch": pretend 3 of the committed docs re-arrive
+    staged = tbl.read(spark).filter(F.col("url_bucket").isin([0, 1]))
+    pruned = committed_for_run(spark, tbl, staged)
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan and "url_bucket" in plan, plan
+    # the filter names only the staged buckets, so pruning is real
+    assert pruned.select("url_bucket").distinct().count() <= 2
+
+
 def test_q6_filters_push_to_scan(spark):
     """TPC-H q6 is THE pushdown benchmark: discount/quantity/shipdate
     predicates must appear in the parquet scan's PushedFilters, and

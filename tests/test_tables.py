@@ -85,6 +85,72 @@ def test_recover_restores_old_when_no_tmp(spark, tbl):
     assert _rows(spark, tbl) == {(1, 1): "a"}
 
 
+def test_partitioned_merge_rewrites_only_affected_buckets(
+        spark, tmp_path):
+    """Bucket-scoped merge: a batch touching one bucket must leave
+    every other bucket's data FILES untouched (renamed into the new
+    generation, not rewritten) — the parquet stand-in for Iceberg's
+    file-level MERGE."""
+    import os
+
+    tbl = ParquetTable(str(tmp_path / "pt"), partition_by="b")
+    base = spark.createDataFrame(
+        [(k, 1, f"v{k}", k % 4) for k in range(16)], ["k", "p", "v", "b"]
+    )
+    tbl.merge_upsert(spark, base, keys=["k", "p"])
+
+    def bucket_files(b):
+        d = os.path.join(tbl.path, f"b={b}")
+        return sorted(
+            (n, os.stat(os.path.join(d, n)).st_ino)
+            for n in os.listdir(d) if n.endswith(".parquet")
+        )
+
+    before = {b: bucket_files(b) for b in range(4)}
+    batch = spark.createDataFrame(
+        [(0, 1, "NEW", 0), (99, 1, "added", 0)], ["k", "p", "v", "b"]
+    )
+    tbl.merge_upsert(spark, batch, keys=["k", "p"])
+    # untouched buckets: identical file names AND inodes (renamed dirs)
+    for b in (1, 2, 3):
+        assert bucket_files(b) == before[b], f"bucket {b} was rewritten"
+    assert bucket_files(0) != before[0]
+    got = _rows(spark, tbl)
+    assert got[(0, 1)] == "NEW" and got[(99, 1)] == "added"
+    assert len(got) == 17
+
+
+def test_partitioned_merge_move_phase_crash_recovers(spark, tmp_path):
+    """Crash mid-move (marker present in __tmp): recovery must move
+    the committed unaffected bucket dirs BACK and discard the
+    uncommitted merge."""
+    import os
+    import shutil
+
+    tbl = ParquetTable(str(tmp_path / "pt"), partition_by="b")
+    base = spark.createDataFrame(
+        [(k, 1, f"v{k}", k % 4) for k in range(8)], ["k", "p", "v", "b"]
+    )
+    tbl.merge_upsert(spark, base, keys=["k", "p"])
+    # simulate a half-done move phase: affected bucket b=0 freshly
+    # written into __tmp, marker still present, and unaffected b=1
+    # already moved over from the live table
+    tmp = f"{tbl.path}__tmp_deadbeef"
+    spark.createDataFrame([(0, 1, "UNCOMMITTED", 0)],
+                          ["k", "p", "v", "b"]) \
+        .write.partitionBy("b").mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_MERGE_MOVES"), "w") as fh:
+        fh.write("b=0")
+    os.rename(os.path.join(tbl.path, "b=1"), os.path.join(tmp, "b=1"))
+    assert shutil.os.path.isdir(os.path.join(tmp, "b=1"))
+    assert tbl.exists()  # triggers recovery
+    got = _rows(spark, tbl)
+    # original table fully restored, uncommitted merge discarded
+    assert got == {(k, 1): f"v{k}" for k in range(8)}
+    parent = os.path.dirname(tbl.path)
+    assert [n for n in os.listdir(parent) if "__tmp_" in n] == []
+
+
 class _StubCatalog:
     def __init__(self):
         self.dropped = []

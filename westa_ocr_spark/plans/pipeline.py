@@ -44,6 +44,14 @@ from westa_ocr_spark.operators.partitioning import (
 from westa_ocr_spark.operators.resume import resume_filter
 from westa_ocr_spark.sources.tables import ParquetTable
 
+# Hive-partition count for the extracted sink: url_bucket =
+# pmod(xxhash64(url), SINK_BUCKETS). Buys partition-PRUNED
+# incremental manifest reads and bucket-scoped merges (only touched
+# buckets rewrite). Local default; a 100-TB deployment raises it (or
+# uses Iceberg bucket(N, url) transforms) to keep buckets executor-
+# memory sized.
+SINK_BUCKETS = 32
+
 
 @dataclass
 class ExtractionResult:
@@ -67,6 +75,24 @@ def cancel_extraction(spark: SparkSession, job_group: str) -> None:
     cancelled run re-runs safely.
     """
     spark.sparkContext.cancelJobGroup(job_group)
+
+
+def committed_for_run(
+    spark: SparkSession, extracted_tbl: ParquetTable, staged: DataFrame
+) -> DataFrame:
+    """Partition-pruned view of the committed sink for one run.
+
+    Filters the sink scan to the run's ``url_bucket`` values BEFORE
+    the url semi-join, so the parquet read carries PartitionFilters
+    (plan-asserted in tests/test_plans.py) instead of scanning every
+    bucket of an arbitrarily large table.
+    """
+    buckets = [
+        r[0] for r in staged.select("url_bucket").distinct().collect()
+    ]
+    return extracted_tbl.read(spark).filter(
+        F.col("url_bucket").isin(buckets)
+    )
 
 
 def run_extraction_job(
@@ -103,7 +129,9 @@ def run_extraction_job(
     if isinstance(pages, str):
         pages = spark.read.parquet(pages)
 
-    extracted_tbl = ParquetTable(f"{out_dir}/extracted")
+    extracted_tbl = ParquetTable(
+        f"{out_dir}/extracted", partition_by="url_bucket"
+    )
     manifest_tbl = ParquetTable(f"{out_dir}/manifest")
     lineage_tbl = ParquetTable(f"{out_dir}/lineage")
 
@@ -127,21 +155,35 @@ def run_extraction_job(
     resumed_skipped = 0
     if resume and extracted_tbl.exists():
         done = extracted_tbl.read(spark)
-        resumed_skipped = done.select("url").distinct().count()
+        # skipped-count comes from the manifest (one tiny row per
+        # committed url) — not a distinct() over the full sink
+        if manifest_tbl.exists():
+            resumed_skipped = manifest_tbl.read(spark).count()
+        else:
+            resumed_skipped = done.select("url").distinct().count()
         work = resume_filter(work, done, key="url")
         _mark("resume_plan")
     work = skew_split(work, oversized_threshold=oversized_threshold,
                       big_partitions=num_partitions)
 
-    extracted = extract_pages(work)
+    extracted = extract_pages(work).withColumn(
+        "url_bucket",
+        F.pmod(F.xxhash64("url"), F.lit(SINK_BUCKETS)).cast("int"),
+    )
 
-    # single execution: stage to parquet (in place on a fresh sink).
+    # single execution: stage to parquet (in place on a fresh sink —
+    # hive-partitioned by url_bucket so later incremental runs get
+    # pruned reads and bucket-scoped merges; the narrow extract write
+    # stays shuffle-free, each task fans its rows into bucket dirs).
     first_run = not extracted_tbl.exists()
     staging_path = (
         extracted_tbl.path if first_run
         else f"{out_dir}/_staging_{run_id}"
     )
-    extracted.write.mode("overwrite").parquet(staging_path)
+    writer = extracted.write.mode("overwrite")
+    if first_run:
+        writer = writer.partitionBy("url_bucket")
+    writer.parquet(staging_path)
     _mark("extract_and_stage")
     staged = spark.read.parquet(staging_path)
 
@@ -261,7 +303,9 @@ def run_extraction_job(
             _join_lineage()
             shutil.rmtree(opt_manifest_path, ignore_errors=True)
             deduped = staged.dropDuplicates(["url", "page_index"])
-            tmp = ParquetTable(f"{out_dir}/_dedup_{run_id}")
+            tmp = ParquetTable(
+                f"{out_dir}/_dedup_{run_id}", partition_by="url_bucket"
+            )
             tmp.overwrite(deduped)
             shutil.rmtree(extracted_tbl.path, ignore_errors=True)
             shutil.move(tmp.path, extracted_tbl.path)
@@ -282,7 +326,7 @@ def run_extraction_job(
         # committed table every run would be an O(table) pass that
         # dwarfs small incremental runs. Post-merge the sink rows for
         # this run's urls are final, so their manifest rows are too.
-        committed = extracted_tbl.read(spark)
+        committed = committed_for_run(spark, extracted_tbl, staged)
         run_manifest = build_manifest(
             committed.join(
                 staged.select("url").distinct(), "url", "left_semi"

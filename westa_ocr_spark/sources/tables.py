@@ -34,26 +34,61 @@ def _dir_nonempty(path: str) -> bool:
 
 
 class ParquetTable:
-    """Directory-of-parquet keyed table with upsert semantics."""
+    """Directory-of-parquet keyed table with upsert semantics.
 
-    def __init__(self, path: str) -> None:
+    ``partition_by`` names a hive-style partition column (e.g.
+    ``url_bucket = pmod(xxhash64(url), N)``). A partitioned table
+    buys two things at scale: partition-PRUNED incremental reads
+    (the manifest semi-join scans only this run's buckets) and a
+    merge that rewrites only the AFFECTED buckets — unaffected bucket
+    directories are renamed into the new table generation, an O(1)
+    metadata move per bucket instead of an O(table) rewrite. This is
+    the parquet approximation of Iceberg's file-level MERGE.
+    """
+
+    _MOVE_MARKER = "_MERGE_MOVES"
+
+    def __init__(self, path: str, partition_by: str | None = None) -> None:
         self.path = path
+        self.partition_by = partition_by
 
     def _recover(self) -> None:
-        """Heal the crash window between the two swap renames.
+        """Heal the crash windows of ``merge_upsert``.
 
-        ``merge_upsert`` renames ``path -> __old`` then ``__tmp ->
-        path``; a crash in between leaves ``path`` absent with the
-        merged data stranded in ``__tmp`` (complete: it carries
-        ``_SUCCESS``) and the prior data in ``__old``. Promote the
-        newest complete ``__tmp`` if present, else restore the newest
-        ``__old``; sweep any remaining leftovers.
+        Phase order on a partitioned merge: (1) write affected buckets
+        to ``__tmp`` + write a ``_MERGE_MOVES`` marker naming them,
+        (2) rename unaffected bucket dirs ``path -> __tmp``,
+        (3) remove the marker, (4) rename ``path -> __old`` then
+        ``__tmp -> path``. Recovery: a marker-bearing ``__tmp`` means
+        phase 2 may be half-done — move the non-affected dirs BACK
+        (they are the committed table's data; the affected dirs are
+        the uncommitted merge) and discard the tmp. After that the
+        classic swap-window logic applies: ``path`` absent with a
+        complete (marker-free) ``__tmp`` promotes it, else the newest
+        ``__old`` is restored; leftovers are swept.
         """
-        if _dir_nonempty(self.path):
-            return
         parent = os.path.dirname(self.path) or "."
         base = os.path.basename(self.path)
         if not os.path.isdir(parent):
+            return
+        # phase-2 undo: interrupted partition-move merges
+        for name in list(os.listdir(parent)):
+            full = os.path.join(parent, name)
+            marker = os.path.join(full, self._MOVE_MARKER)
+            if not (name.startswith(f"{base}__tmp_")
+                    and os.path.isfile(marker)):
+                continue
+            with open(marker, encoding="utf-8") as fh:
+                affected = set(fh.read().split())
+            os.makedirs(self.path, exist_ok=True)
+            for entry in os.listdir(full):
+                src = os.path.join(full, entry)
+                if (os.path.isdir(src) and entry not in affected
+                        and not os.path.exists(
+                            os.path.join(self.path, entry))):
+                    os.rename(src, os.path.join(self.path, entry))
+            shutil.rmtree(full, ignore_errors=True)
+        if _dir_nonempty(self.path):
             return
         tmps, olds = [], []
         for name in os.listdir(parent):
@@ -78,11 +113,17 @@ class ParquetTable:
         self._recover()
         return spark.read.parquet(self.path)
 
+    def _writer(self, df: DataFrame):
+        w = df.write
+        if self.partition_by and self.partition_by in df.columns:
+            w = w.partitionBy(self.partition_by)
+        return w
+
     def append(self, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self.path)
+        self._writer(df).mode("append").parquet(self.path)
 
     def overwrite(self, df: DataFrame) -> None:
-        df.write.mode("overwrite").parquet(self.path)
+        self._writer(df).mode("overwrite").parquet(self.path)
 
     def merge_upsert(
         self, spark: SparkSession, df: DataFrame, keys: list[str]
@@ -97,13 +138,51 @@ class ParquetTable:
         """
         df = df.dropDuplicates(keys)
         if not self.exists():
-            df.write.mode("overwrite").parquet(self.path)
+            self.overwrite(df)
+            return
+        if self.partition_by and self.partition_by in df.columns:
+            self._merge_partitioned(spark, df, keys)
             return
         existing = self.read(spark)
         kept = existing.join(df.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(df.select(*existing.columns))
         tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
+        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def _merge_partitioned(
+        self, spark: SparkSession, df: DataFrame, keys: list[str]
+    ) -> None:
+        """Bucket-scoped merge: rewrite only the partitions the batch
+        touches; every other bucket directory is renamed (not copied)
+        into the new table generation. IO is O(affected buckets), the
+        parquet stand-in for Iceberg's file-level MERGE INTO."""
+        from pyspark.sql import functions as F
+
+        pcol = self.partition_by
+        affected_vals = sorted(
+            r[0] for r in df.select(pcol).distinct().collect()
+        )
+        affected_dirs = {f"{pcol}={v}" for v in affected_vals}
+        existing = self.read(spark).filter(F.col(pcol).isin(affected_vals))
+        kept = existing.join(df.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(
+            df.select(*existing.columns)
+        )
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.partitionBy(pcol).mode("overwrite").parquet(tmp)
+        # journal the move phase so _recover can undo a half-done one
+        with open(os.path.join(tmp, self._MOVE_MARKER), "w",
+                  encoding="utf-8") as fh:
+            fh.write("\n".join(sorted(affected_dirs)))
+        for entry in os.listdir(self.path):
+            src = os.path.join(self.path, entry)
+            if os.path.isdir(src) and entry not in affected_dirs:
+                os.rename(src, os.path.join(tmp, entry))
+        os.remove(os.path.join(tmp, self._MOVE_MARKER))
         old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
         os.rename(self.path, old)
         os.rename(tmp, self.path)
