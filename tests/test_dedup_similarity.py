@@ -300,6 +300,28 @@ def test_connected_components_long_chain_converges(spark):
     assert len(comp) == 61
 
 
+def test_connected_components_10k_path_converges_olog(spark):
+    """Adversarial diameter: a 10,000-node path graph must converge
+    within the default 20-round budget — only possible if pointer
+    doubling really halves the distance-to-root each round
+    (ceil(log2(10000)) ~ 14); plain propagation would need 10,000
+    rounds and trip the non-convergence guard."""
+    import time
+
+    from westa_ocr_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10_000)], ["doc_a", "doc_b"]
+    )
+    t0 = time.time()
+    out = connected_components(edges).collect()
+    elapsed = time.time() - t0
+    comp = {r["node"]: r["component"] for r in out}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 10_001
+    assert elapsed < 60, f"took {elapsed:.1f}s"
+
+
 def test_line_corpus_dedup_semantics(spark):
     from westa_ocr_spark.operators.dedup import line_corpus_dedup
 

@@ -876,8 +876,65 @@ def _q_warc_ingest(spark, sf):
 
 
 
+def _q_merge_upsert(spark, sf):
+    """Keyed-upsert sink semantics (S6) as a driver-oracled query: the
+    REAL ``ParquetTable.merge_upsert`` runs end-to-end on its
+    bucket-partitioned path (only affected partitions rewrite — the
+    parquet stand-in for Iceberg MERGE INTO,
+    /root/reference/app/repository.py:230-265) and the merged table is
+    verified row-for-row against DuckDB's MERGE expansion
+    (new-rows-win UNION ALL base anti-join). The batch contains
+    in-batch duplicate rows (identical, so the key-dedup is
+    deterministic) and keys 1000-2999 overlap base keys 0-1999."""
+    import shutil
+    import tempfile
+
+    from westa_ocr_spark.sources.tables import ParquetTable
+
+    orders = _t(spark, sf, "orders")
+    base = orders.filter(F.col("o_orderkey") < 2000).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        round_det(F.col("o_totalprice"), 2).alias("price"),
+        F.col("o_orderstatus").alias("st"),
+        (F.col("o_orderkey") % 8).cast("int").alias("b"),
+    )
+    batch = orders.filter(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 3000)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        round_det(F.col("o_totalprice") * 1.1, 2).alias("price"),
+        F.lit("U").alias("st"),
+        (F.col("o_orderkey") % 8).cast("int").alias("b"),
+    )
+    path = tempfile.gettempdir() + "/westa_q_merge_upsert"
+    shutil.rmtree(path, ignore_errors=True)
+    tbl = ParquetTable(path, partition_by="b")
+    tbl.merge_upsert(spark, base, keys=["k"])
+    tbl.merge_upsert(spark, batch.unionByName(batch), keys=["k"])
+    return tbl.read(spark).select("k", "ck", "price", "st", "b")
+
+
+_SQL_MERGE_UPSERT = (
+    "WITH base AS (SELECT o_orderkey AS k, o_custkey AS ck, "
+    + _sql_round_det("o_totalprice", 2)
+    + " AS price, o_orderstatus AS st, o_orderkey % 8 AS b "
+    "FROM orders WHERE o_orderkey < 2000), "
+    "batch AS (SELECT o_orderkey AS k, o_custkey AS ck, "
+    + _sql_round_det("o_totalprice * 1.1", 2)
+    + " AS price, 'U' AS st, o_orderkey % 8 AS b "
+    "FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000) "
+    "SELECT k, ck, price, st, b FROM batch "
+    "UNION ALL "
+    "SELECT k, ck, price, st, b FROM base "
+    "WHERE k NOT IN (SELECT k FROM batch)"
+)
+
+
 # name -> (Spark DataFrame fn, DuckDB oracle SQL or None).
 DEFS = {
+    "merge_upsert": (_q_merge_upsert, _SQL_MERGE_UPSERT),
     "filter_pending": (_q_filter_pending, _SQL_FILTER_PENDING),
     "filter_errors": (_q_filter_errors, _SQL_FILTER_ERRORS),
     "filter_nonempty": (_q_filter_nonempty, _SQL_FILTER_NONEMPTY),

@@ -88,6 +88,7 @@ MANIFEST: list[str] = [
     "frame_sampling",
     "split_pdf_payloads",
     # -- round-3 additions (inserted here as they land) ---------------
+    "merge_upsert",
     # -- scale-critical veterans (driver-green in r1/r2) --------------
     "exact_dedup",
     "minhash_signatures",
