@@ -108,6 +108,124 @@ def test_parse_image_dimensions_corrupt_and_gif():
         parse_image_dimensions(b"RIFF....WAVE")
 
 
+def _encode_png(pixels, ctype, filters, palette=None):
+    """Test-only PNG encoder: applies the REQUESTED filter type per
+    scanline (the forward transforms, independent of the decoder's
+    inverse ones) so unfiltering is tested non-circularly."""
+    import struct
+    import zlib
+
+    from westa_ocr_spark.operators.multimodal import _paeth, _png_chunk
+
+    h = len(pixels)
+    w = len(pixels[0])
+    ch = len(pixels[0][0])
+    stride = w * ch
+    flat = [
+        [pixels[y][x][c] for x in range(w) for c in range(ch)]
+        for y in range(h)
+    ]
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = flat[y]
+        prev = flat[y - 1] if y > 0 else [0] * stride
+        raw.append(f)
+        for x in range(stride):
+            left = line[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] - left
+            elif f == 2:
+                v = line[x] - up
+            elif f == 3:
+                v = line[x] - ((left + up) >> 1)
+            else:
+                v = line[x] - _paeth(left, up, ul)
+            raw.append(v & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    chunks = [_png_chunk(b"IHDR", ihdr)]
+    if palette is not None:
+        chunks.append(_png_chunk(b"PLTE", bytes(palette)))
+    chunks.append(_png_chunk(b"IDAT", zlib.compress(bytes(raw))))
+    chunks.append(_png_chunk(b"IEND", b""))
+    return b"\x89PNG\r\n\x1a\n" + b"".join(chunks)
+
+
+def test_png_pixel_decode_all_filters_roundtrip():
+    """Every scanline filter type (None/Sub/Up/Average/Paeth) and the
+    gray/RGB/RGBA/palette color types decode back to the exact pixel
+    array they encoded."""
+    import random
+
+    from westa_ocr_spark.operators.multimodal import decode_png_pixels
+
+    rng = random.Random(7)
+    for ctype, ch in ((0, 1), (2, 3), (6, 4)):
+        pixels = [
+            [[rng.randrange(256) for _ in range(ch)] for _ in range(9)]
+            for _ in range(10)
+        ]
+        blob = _encode_png(pixels, ctype, filters=[0, 1, 2, 3, 4])
+        got = decode_png_pixels(blob)
+        assert got.shape == (10, 9, ch)
+        assert got.tolist() == pixels, f"ctype {ctype}"
+    # palette: indices map through PLTE to RGB
+    pal = [10, 20, 30, 200, 100, 0, 5, 5, 5]
+    idx = [[[y % 3] for y in range(4)] for _ in range(3)]
+    got = decode_png_pixels(_encode_png(idx, 3, [0, 1, 2], palette=pal))
+    assert got.shape == (3, 4, 3)
+    assert got[0].tolist() == [
+        pal[0:3], pal[3:6], pal[6:9], pal[0:3]
+    ]
+
+
+def test_png_features_hand_computed():
+    """write_png's gray pattern is (x*31 + y*17) % 256: the real
+    decoder's feature vector must equal an independent pure-python
+    recompute of mean/std/min/max."""
+    import math
+
+    from westa_ocr_spark.operators.multimodal import (
+        png_pixel_features,
+        write_png,
+    )
+
+    w, h = 13, 7
+    vals = [(x * 31 + y * 17) % 256 for y in range(h) for x in range(w)]
+    mean = sum(vals) / len(vals)
+    var = sum((v - mean) ** 2 for v in vals) / len(vals)
+    expected = [
+        mean / 255.0, math.sqrt(var) / 255.0,
+        min(vals) / 255.0, max(vals) / 255.0,
+    ] + [0.0] * 12
+    got = png_pixel_features(write_png(w, h))
+    assert len(got) == 16
+    for g, e in zip(got, expected):
+        assert abs(g - e) < 1e-9
+
+
+def test_png_decode_rejects_exotic(spark):
+    import struct
+
+    import pytest as _pytest
+
+    from westa_ocr_spark.operators.multimodal import (
+        _png_chunk,
+        decode_png_pixels,
+    )
+
+    # 16-bit depth -> unsupported, clean ValueError (not garbage)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    blob = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="bit depth"):
+        decode_png_pixels(blob)
+
+
 def test_frame_sampling_fanout(spark, media_df):
     from westa_ocr_spark.operators.multimodal import sample_frames
 

@@ -5,17 +5,20 @@ metadata, processed by Arrow-batched ``mapInPandas`` stages — the same
 plumbing as HTML/PDF extraction (schema, partitioning, batch shape are
 real and tested).
 
-What's REAL here (round 2): magic-byte sniffing, and true image
-dimensions parsed from the container headers — PNG IHDR, JPEG SOF
-segment walk, GIF logical-screen descriptor — all pure stdlib
-(:func:`parse_image_dimensions`), plus matching deterministic writers
-(:func:`write_png` emits correct CRCs and a zlib IDAT). What's still
-STUBBED: the pixel-level decode + embedding model behind ``feature``
-(PIL/ffmpeg are not in this container) — a clearly-marked sha256 fake
-(:func:`_fake_features`); swapping in the real model changes ONE
-function body, none of the Spark plumbing. ``sample_frames`` likewise
-fakes the codec with a byte-slice while keeping the 1-row->N-frames
-fan-out contract real.
+What's REAL here: magic-byte sniffing; true image dimensions parsed
+from the container headers — PNG IHDR, JPEG SOF segment walk, GIF
+logical-screen descriptor (:func:`parse_image_dimensions`) — plus
+matching deterministic writers (:func:`write_png` emits correct CRCs
+and a zlib IDAT); and, round 3, a full PNG PIXEL decode
+(:func:`decode_png_pixels`: zlib IDAT inflate, scanline unfiltering
+for all five filter types, gray/RGB/RGBA/gray+alpha/palette), whose
+per-channel statistics are the PNG feature vector. What's still
+STUBBED: the embedding model for the entropy-coded formats
+(JPEG/GIF pixel data needs Huffman/LZW decoders PIL would provide) —
+a clearly-marked sha256 fake (:func:`_fake_features`); swapping in
+the real model changes ONE function body, none of the Spark
+plumbing. ``sample_frames`` likewise fakes the codec with a
+byte-slice while keeping the 1-row->N-frames fan-out contract real.
 
 The skew story matches HTML: oversized media uses the same skew_split.
 """
@@ -184,12 +187,142 @@ def _fake_features(data: bytes) -> list[float]:
     """Deterministic stand-in for the pixel-decode + embedding model
     (PIL is absent here): feature[16] from a sha256 of the bytes —
     stable across runs/machines. Replace with a real model in
-    production; dimensions above are already real."""
+    production. Round 3: PNG no longer uses this — its pixels decode
+    for real (:func:`decode_png_pixels`); the fake remains only for
+    the entropy-coded formats (JPEG/GIF) whose decoders are out of
+    stdlib reach."""
     digest = hashlib.sha256(data).digest()
     return [
         int.from_bytes(digest[2 * i : 2 * i + 2], "big") / 65535.0
         for i in range(_FEATURE_DIM)
     ]
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_pixels(data: bytes):
+    """REAL PNG pixel decode, pure stdlib + numpy: zlib-inflate the
+    IDAT stream, undo the per-scanline filters (None/Sub/Up/Average/
+    Paeth), and return an (h, w, channels) uint8 array. Supports
+    bit-depth 8, color types 0 (gray), 2 (RGB), 3 (palette -> RGB),
+    4 (gray+alpha), 6 (RGBA), non-interlaced — the overwhelming bulk
+    of web PNGs. Anything else raises ``ValueError`` (per-row ERROR
+    capture upstream)."""
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, n = 8, len(data)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (clen,) = struct.unpack(">I", data[pos : pos + 4])
+        ctyp = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("corrupt PNG (truncated chunk)")
+        if ctyp == b"IHDR":
+            ihdr = body
+        elif ctyp == b"PLTE":
+            plte = body
+        elif ctyp == b"IDAT":
+            idat += body
+        elif ctyp == b"IEND":
+            break
+        pos += 12 + clen  # len + type + payload + crc
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("corrupt PNG (missing IHDR)")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if interlace != 0:
+        raise ValueError("unsupported PNG (Adam7 interlace)")
+    if comp != 0 or filt != 0:
+        raise ValueError("corrupt PNG (bad compression/filter method)")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("corrupt PNG (IDAT size mismatch)")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 1:  # Sub: left neighbor (sequential in x)
+            acc = line.astype(np.int64)
+            for x in range(bpp, stride):
+                acc[x] = (acc[x] + acc[x - bpp]) & 0xFF
+            out[y] = acc.astype(np.uint8)
+        elif ftype == 2:  # Up: fully vectorized
+            out[y] = line + prev
+        elif ftype == 3:  # Average
+            acc = line.astype(np.int64)
+            for x in range(stride):
+                left = acc[x - bpp] if x >= bpp else 0
+                acc[x] = (acc[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+            out[y] = acc.astype(np.uint8)
+        elif ftype == 4:  # Paeth
+            acc = line.astype(np.int64)
+            for x in range(stride):
+                left = int(acc[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                acc[x] = (acc[x] + _paeth(left, up, ul)) & 0xFF
+            out[y] = acc.astype(np.uint8)
+        else:
+            raise ValueError(f"corrupt PNG (filter type {ftype})")
+    px = out.reshape(h, w, channels)
+    if ctype == 3:  # palette indices -> RGB
+        if plte is None or len(plte) % 3:
+            raise ValueError("corrupt PNG (palette missing/ragged)")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("corrupt PNG (palette index out of range)")
+        px = pal[idx]
+    return px
+
+
+def png_pixel_features(data: bytes) -> list[float]:
+    """Real 16-dim PNG feature vector from decoded pixels: for each of
+    up to 4 channels, (mean, std, min, max) normalized to [0, 1];
+    absent channels contribute zeros. Deterministic, hand-verifiable
+    (fixture-tested against an independent pure-python recompute)."""
+    import numpy as np
+
+    px = decode_png_pixels(data).astype(np.float64)
+    feats: list[float] = []
+    for c in range(4):
+        if c < px.shape[2]:
+            ch = px[:, :, c]
+            feats += [
+                float(ch.mean() / 255.0),
+                float(ch.std() / 255.0),
+                float(ch.min() / 255.0),
+                float(ch.max() / 255.0),
+            ]
+        else:
+            feats += [0.0, 0.0, 0.0, 0.0]
+    return feats
 
 
 def extract_image_features(media: DataFrame, url_col: str = "url",
@@ -222,9 +355,12 @@ def extract_image_features(media: DataFrame, url_col: str = "url",
                         raise ValueError("empty payload")
                     blob = bytes(data)
                     kind, w, h = parse_image_dimensions(blob)
+                    feature = (
+                        png_pixel_features(blob) if kind == "png"
+                        else _fake_features(blob)
+                    )
                     row.update(
-                        kind=kind, width=w, height=h,
-                        feature=_fake_features(blob),
+                        kind=kind, width=w, height=h, feature=feature,
                     )
                 except ValueError as exc:
                     row.update(status="ERROR", error=f"decode: {exc}")
