@@ -230,3 +230,112 @@ def test_encrypted_pdf_raises_cleanly():
     )
     with pytest.raises(ValueError, match="encrypted"):
         extract_pdf_pages(patched)
+
+
+# -- empty-user-password RC4 fixtures (standard handler R2/R3) ----------
+# The crypto below is written INDEPENDENTLY of pdf_core's decryptor
+# (own RC4 + key schedule straight from ISO 32000 7.6.3) so the test
+# cross-checks two implementations rather than round-tripping one.
+
+_PAD = bytes(
+    (0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+     0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+     0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A)
+)
+
+
+def _rc4_ref(key, data):
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) % 256
+        s[i], s[j] = s[j], s[i]
+    out, i, j = bytearray(), 0, 0
+    for b in data:
+        i = (i + 1) % 256
+        j = (j + s[i]) % 256
+        s[i], s[j] = s[j], s[i]
+        out.append(b ^ s[(s[i] + s[j]) % 256])
+    return bytes(out)
+
+
+def _write_encrypted_pdf(text, r=2, length=40):
+    import hashlib
+    import struct
+
+    id0 = bytes(range(16))
+    n = 5 if r == 2 else length // 8
+    # algorithm 3 (O entry), empty owner and user passwords
+    h = hashlib.md5(_PAD).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    okey = h[:n]
+    o = _rc4_ref(okey, _PAD)
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4_ref(bytes(b ^ i for b in okey), o)
+    # algorithm 2 (file key), empty user password
+    h = hashlib.md5(
+        _PAD + o + struct.pack("<I", 0xFFFFFFFF) + id0
+    ).digest()
+    key = h[:n]
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()[:n]
+    # algorithm 4/5 (U entry)
+    if r == 2:
+        u = _rc4_ref(key, _PAD)
+    else:
+        u = _rc4_ref(key, hashlib.md5(_PAD + id0).digest())
+        for i in range(1, 20):
+            u = _rc4_ref(bytes(b ^ i for b in key), u)
+        u += b"\x00" * 16
+    # algorithm 1 (per-object key) for content stream 4 0
+    ok = hashlib.md5(
+        key + (4).to_bytes(3, "little") + (0).to_bytes(2, "little")
+    ).digest()[: min(n + 5, 16)]
+    content = b"BT /F1 12 Tf 72 720 Td (" + text.encode("latin-1") \
+        + b") Tj ET"
+    enc_content = _rc4_ref(ok, content)
+    v = 1 if r == 2 else 2
+    objs = [
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+        b"endobj\n",
+        b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(enc_content), enc_content),
+        b"5 0 obj\n<< /Filter /Standard /V %d /R %d /Length %d "
+        b"/O <%s> /U <%s> /P -1 >>\nendobj\n"
+        % (v, r, length, o.hex().encode(), u.hex().encode()),
+    ]
+    body = b"%PDF-1.4\n" + b"".join(objs)
+    trailer = (
+        b"trailer\n<< /Size 6 /Root 1 0 R /Encrypt 5 0 R /ID [<%s> <%s>]"
+        b" >>\n%%%%EOF\n" % (id0.hex().encode(), id0.hex().encode())
+    )
+    return body + trailer
+
+
+@pytest.mark.parametrize("r,length", [(2, 40), (3, 128)])
+def test_empty_password_rc4_decrypts_byte_identically(r, length):
+    """An empty-user-password RC4 document (handler revisions 2 and 3)
+    must extract byte-identically to its plaintext twin — the pypdf
+    behavior the reference relies on."""
+    text = "the hidden page text 42"
+    enc = _write_encrypted_pdf(text, r=r, length=length)
+    assert b"hidden page text" not in enc  # really ciphertext
+    assert extract_pdf_pages(enc) == [text]
+
+
+def test_wrong_password_still_errors():
+    """A document whose user password is NOT empty keeps the clean
+    ERROR path: U won't verify with the empty-password key."""
+    enc = _write_encrypted_pdf("locked", r=2)
+    # corrupt U so the empty-password check fails (= real password)
+    at = enc.index(b"/U <")
+    bad = enc[: at + 4] + b"00" * 32 + enc[at + 4 + 64:]
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_pages(bad)

@@ -388,6 +388,81 @@ _FILTERS = {
 _OBJ_HDR = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _TRAILER = re.compile(rb"trailer")
 
+# -- standard security handler (empty-user-password RC4, R2/R3) ----------
+# The reference's splitter (pypdf, /root/reference/requirements.txt)
+# transparently decrypts documents whose user password is empty; the
+# same is implementable pure-stdlib for the classic RC4 handler
+# (ISO 32000 7.6.3 algorithms 2-5). AES (/V 4+) stays unsupported.
+
+_PWD_PAD = bytes(
+    (0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+     0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+     0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A)
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for b in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(b ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _std_file_key(enc: dict, id0: bytes, password: bytes = b"") -> bytes:
+    """Algorithm 2: file encryption key for the standard handler."""
+    import hashlib
+    import struct as _struct
+
+    r = int(enc.get("R", 2))
+    length = int(enc.get("Length", 40))
+    n = max(5, min(16, length // 8))
+    if r == 2:
+        n = 5
+    o = bytes(enc.get("O", b""))[:32]
+    p = int(enc.get("P", -1)) & 0xFFFFFFFF
+    h = hashlib.md5(
+        (password + _PWD_PAD)[:32] + o + _struct.pack("<I", p) + id0
+    ).digest()
+    key = h[:n]
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()[:n]
+    return key
+
+
+def _std_user_check(enc: dict, id0: bytes, key: bytes) -> bool:
+    """Algorithms 4/5: does ``key`` open this document (U matches)?"""
+    import hashlib
+
+    r = int(enc.get("R", 2))
+    u = bytes(enc.get("U", b""))
+    if r == 2:
+        return _rc4(key, _PWD_PAD) == u[:32]
+    cand = _rc4(key, hashlib.md5(_PWD_PAD + id0).digest())
+    for i in range(1, 20):
+        cand = _rc4(bytes(b ^ i for b in key), cand)
+    return cand[:16] == u[:16]
+
+
+def _std_object_key(key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1: per-object RC4 key."""
+    import hashlib
+
+    h = hashlib.md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(key) + 5, 16)]
+
 
 class PdfDocument:
     """All objects of a PDF, loaded by tolerant full-file scan."""
@@ -395,7 +470,13 @@ class PdfDocument:
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.objects: dict[int, object] = {}
+        self.gens: dict[int, int] = {}
+        self.decrypted = False
         self._scan()
+        # decryption must precede ObjStm expansion: object streams are
+        # themselves encrypted, so expanding first would inflate
+        # ciphertext (and silently drop those objects)
+        self._setup_decryption()
         self._expand_object_streams()
 
     # -- loading ----------------------------------------------------------
@@ -412,6 +493,7 @@ class PdfDocument:
             if m.start() < skip_until:
                 continue  # header bytes inside a stream payload
             num = int(m.group(1))
+            gen = int(m.group(2))
             try:
                 val, pos = parse_object(data, m.end())
             except ValueError:
@@ -430,6 +512,7 @@ class PdfDocument:
                 val = StreamObj(val, payload)
             # file order: a later definition (incremental update) wins
             self.objects[num] = val
+            self.gens[num] = gen
 
     def _slice_stream(self, d: dict, start: int) -> tuple[bytes, int]:
         data = self.data
@@ -514,11 +597,81 @@ class PdfDocument:
 
     # -- page tree ----------------------------------------------------------
 
+    def _encrypt_entry(self):
+        """(encrypt_value, id0_bytes) from the trailer, or (None, b'')."""
+        enc, id0 = None, b""
+        for m in _TRAILER.finditer(self.data):
+            try:
+                d, _ = parse_object(self.data, m.end())
+            except ValueError:
+                continue
+            if isinstance(d, dict) and "Encrypt" in d:
+                enc = d["Encrypt"]
+                ids = d.get("ID")
+                if isinstance(ids, list) and ids and isinstance(
+                    ids[0], bytes
+                ):
+                    id0 = ids[0]
+        if enc is None:
+            for val in self.objects.values():
+                if isinstance(val, StreamObj) and val.dict.get(
+                    "Type"
+                ) == Name("XRef") and "Encrypt" in val.dict:
+                    enc = val.dict["Encrypt"]
+                    ids = val.dict.get("ID")
+                    if isinstance(ids, list) and ids and isinstance(
+                        ids[0], bytes
+                    ):
+                        id0 = ids[0]
+        return enc, id0
+
+    def _setup_decryption(self) -> None:
+        """Empty-user-password RC4 decrypt (standard handler R2/R3).
+
+        The reference's pypdf splitter opens such documents silently;
+        we do the same for the classic handler: derive the file key
+        with the empty password, verify it against /U, and decrypt
+        every top-level stream in place (XRef streams are never
+        encrypted by spec; strings outside content streams are left
+        alone — text extraction reads only content streams). Wrong
+        password, AES, or crypt filters leave the document encrypted
+        and extraction takes the per-row ERROR path.
+        """
+        enc_ref, id0 = self._encrypt_entry()
+        if enc_ref is None:
+            return
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            return
+        if (str(enc.get("Filter")) != "Standard"
+                or int(enc.get("V", 0)) not in (1, 2)
+                or int(enc.get("R", 0)) not in (2, 3)):
+            return  # AES / crypt filters: stays encrypted
+        try:
+            key = _std_file_key(enc, id0)
+            if not _std_user_check(enc, id0, key):
+                return  # a real (non-empty) user password
+        except (ValueError, TypeError):
+            return
+        enc_num = enc_ref.num if isinstance(enc_ref, Ref) else None
+        for num, val in self.objects.items():
+            if not isinstance(val, StreamObj) or num == enc_num:
+                continue
+            if val.dict.get("Type") == Name("XRef"):
+                continue  # xref streams are never encrypted
+            okey = _std_object_key(key, num, self.gens.get(num, 0))
+            self.objects[num] = StreamObj(val.dict, _rc4(okey, val.raw))
+        self.decrypted = True
+
     def is_encrypted(self) -> bool:
         """True when a trailer (classic or xref-stream) names
-        /Encrypt — content streams would be ciphertext, so extraction
-        must take the clean per-row ERROR path instead of emitting
-        garbage."""
+        /Encrypt AND decryption was not possible — content streams
+        would be ciphertext, so extraction must take the clean per-row
+        ERROR path instead of emitting garbage. Empty-user-password
+        RC4 documents were already decrypted at load and report
+        False."""
+        if self.decrypted:
+            return False
         for m in _TRAILER.finditer(self.data):
             try:
                 d, _ = parse_object(self.data, m.end())
