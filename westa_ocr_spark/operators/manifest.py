@@ -34,6 +34,13 @@ def build_manifest(extracted: DataFrame) -> DataFrame:
     is_done = F.col("status") == "DONE"
     agg = extracted.groupBy("url").agg(
         F.count(F.lit(1)).cast("int").alias("total_blocks"),
+        # distinct (url, page_index) keys this url contributes — rides
+        # the same shuffle; summing it globally lets the pipeline's
+        # J5 dup-key check reuse this aggregation instead of running
+        # its own countDistinct scan over the staged output
+        F.countDistinct("page_index").cast("int").alias(
+            "distinct_blocks"
+        ),
         F.count(F.when(is_done, F.lit(1))).cast("int").alias(
             "processed_blocks"
         ),
@@ -52,6 +59,7 @@ def build_manifest(extracted: DataFrame) -> DataFrame:
     return agg.select(
         "url",
         "total_blocks",
+        "distinct_blocks",
         "processed_blocks",
         F.greatest(
             F.lit(0), F.col("total_blocks") - F.col("processed_blocks")

@@ -47,10 +47,14 @@ from westa_ocr_spark.sources.tables import ParquetTable
 # Hive-partition count for the extracted sink: url_bucket =
 # pmod(xxhash64(url), SINK_BUCKETS). Buys partition-PRUNED
 # incremental manifest reads and bucket-scoped merges (only touched
-# buckets rewrite). Local default; a 100-TB deployment raises it (or
-# uses Iceberg bucket(N, url) transforms) to keep buckets executor-
-# memory sized.
-SINK_BUCKETS = 32
+# buckets rewrite). The sink write fans each extract task into one
+# file PER bucket, so file count = tasks x buckets — measured locally
+# (50k docs, 32 cores): 32 buckets 7.9s, 16 buckets 5.3s, 8 buckets
+# 4.6s end-to-end. 16 balances prune granularity against small-file
+# overhead at this scale; a 100-TB deployment raises it (or uses
+# Iceberg bucket(N, url) transforms, where compaction absorbs the
+# file-count cost) to keep each bucket executor-memory sized.
+SINK_BUCKETS = 16
 
 
 @dataclass
@@ -105,6 +109,7 @@ def run_extraction_job(
     run_id: str = "run",
     oversized_threshold: int = OVERSIZED_THRESHOLD,
     job_group: str | None = None,
+    sink_buckets: int = SINK_BUCKETS,
 ) -> ExtractionResult:
     """Run the full extraction lifecycle; returns counters.
 
@@ -168,7 +173,7 @@ def run_extraction_job(
 
     extracted = extract_pages(work).withColumn(
         "url_bucket",
-        F.pmod(F.xxhash64("url"), F.lit(SINK_BUCKETS)).cast("int"),
+        F.pmod(F.xxhash64("url"), F.lit(sink_buckets)).cast("int"),
     )
 
     # single execution: stage to parquet (in place on a fresh sink —
@@ -185,187 +190,222 @@ def run_extraction_job(
         writer = writer.partitionBy("url_bucket")
     writer.parquet(staging_path)
     _mark("extract_and_stage")
-    staged = spark.read.parquet(staging_path)
 
-    # per-partition lineage from the staged part files (one file per
-    # extract partition) — the gemini_logs analogue
-    # (/root/reference/app/repository.py:84-97), metrics only. The
-    # lineage job is independent of everything downstream, so it runs
-    # on its OWN thread while the key-stats/manifest jobs proceed —
-    # Spark schedules concurrent jobs from one session fine, and at
-    # bench scale these tail jobs are scheduling-bound constants that
-    # would otherwise serialize (measured ~1.5 s saved per run).
-    import threading
+    # The bucket-partitioned staging dir holds tasks x buckets SMALL
+    # files. The session's input-split size is tuned for the big scan
+    # (small splits = extract parallelism); re-reading ~1000 tiny
+    # staged files under the same setting fans the tail jobs
+    # (key-stats, lineage, manifest) into hundreds of near-empty
+    # tasks whose scheduling dominates. Pack them: bump split size /
+    # drop per-file open cost for the tail, restore on exit.
+    conf_saved = {
+        "spark.sql.files.maxPartitionBytes":
+            spark.conf.get("spark.sql.files.maxPartitionBytes"),
+        "spark.sql.files.openCostInBytes":
+            spark.conf.get("spark.sql.files.openCostInBytes"),
+    }
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 20))
+    try:
+        staged = spark.read.parquet(staging_path)
 
-    lineage = (
-        staged.groupBy(
-            F.regexp_extract(F.input_file_name(), r"part-(\d+)", 1)
-            .cast("int")
-            .alias("partition_id")
+        # per-partition lineage from the staged part files (one file per
+        # extract partition) — the gemini_logs analogue
+        # (/root/reference/app/repository.py:84-97), metrics only. The
+        # lineage job is independent of everything downstream, so it runs
+        # on its OWN thread while the key-stats/manifest jobs proceed —
+        # Spark schedules concurrent jobs from one session fine, and at
+        # bench scale these tail jobs are scheduling-bound constants that
+        # would otherwise serialize (measured ~1.5 s saved per run).
+        import threading
+
+        lineage = (
+            staged.groupBy(
+                F.regexp_extract(F.input_file_name(), r"part-(\d+)", 1)
+                .cast("int")
+                .alias("partition_id")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("input_bytes").alias("input_bytes"),
+                F.sum(
+                    F.when(F.col("status") == "ERROR", 1).otherwise(0)
+                ).alias("errors"),
+            )
+            .select(F.lit(run_id).alias("run_id"), "*")
         )
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum("input_bytes").alias("input_bytes"),
-            F.sum(
-                F.when(F.col("status") == "ERROR", 1).otherwise(0)
-            ).alias("errors"),
-        )
-        .select(F.lit(run_id).alias("run_id"), "*")
-    )
-    lineage_err: list[BaseException] = []
+        lineage_err: list[BaseException] = []
 
-    def _lineage_job() -> None:
-        try:
-            # job groups are thread-local: re-tag inside the thread so
-            # cancel_extraction reaches the lineage job too
-            if job_group is not None:
-                spark.sparkContext.setJobGroup(
-                    job_group, f"extraction {run_id} (lineage)",
-                    interruptOnCancel=True,
-                )
-            lineage_tbl.append(lineage)
-        except BaseException as exc:  # re-raised on join
-            lineage_err.append(exc)
-
-    lineage_thread = threading.Thread(target=_lineage_job, daemon=True)
-    lineage_thread.start()
-    _mark("lineage_submit")
-
-    def _join_lineage() -> None:
-        # The lineage job scans ``staged``'s files; call this BEFORE
-        # any branch that deletes or replaces them (staging rmtree,
-        # dup-key sink rewrite), or the still-running scan would hit
-        # missing files and fail a run whose sink already committed.
-        lineage_thread.join()
-        if lineage_err:
-            raise lineage_err[0]
-
-    # fresh-sink runs: build the manifest OPTIMISTICALLY in parallel
-    # with the key-stats job (both scan the same staged output, and
-    # duplicate keys — the one case that invalidates it — are rare and
-    # detected by key-stats). Confirmed by an atomic rename; the dup
-    # path discards it and rebuilds from the deduplicated sink. This
-    # takes the serial post-extract tail from ~3.4 s to ~1.9 s per
-    # run, which is what the N->4N efficiency sees as Amdahl overhead.
-    # (``first_run`` was decided before staging — staging writes INTO
-    # the sink path on a fresh run, so re-probing here would lie.)
-    manifest_err: list[BaseException] = []
-    opt_manifest_path = f"{out_dir}/_manifest_opt_{run_id}"
-    manifest_thread = None
-    if first_run:
-
-        def _manifest_job() -> None:
+        def _lineage_job() -> None:
             try:
+                # job groups are thread-local: re-tag inside the thread so
+                # cancel_extraction reaches the lineage job too
                 if job_group is not None:
                     spark.sparkContext.setJobGroup(
-                        job_group, f"extraction {run_id} (manifest)",
+                        job_group, f"extraction {run_id} (lineage)",
                         interruptOnCancel=True,
                     )
-                build_manifest(staged).write.mode("overwrite").parquet(
-                    opt_manifest_path
-                )
-            except BaseException as exc:
-                manifest_err.append(exc)
+                lineage_tbl.append(lineage)
+            except BaseException as exc:  # re-raised on join
+                lineage_err.append(exc)
 
-        manifest_thread = threading.Thread(
-            target=_manifest_job, daemon=True
-        )
-        manifest_thread.start()
+        lineage_thread = threading.Thread(target=_lineage_job, daemon=True)
+        lineage_thread.start()
+        _mark("lineage_submit")
 
-    # J5 dup detection must be GLOBAL (in the narrow plan, duplicate
-    # urls from different input splits sit in different partitions, so
-    # per-partition distinct counts can't see them): one keys-only
-    # aggregation — column-pruned to three small columns. The same
-    # shuffle also yields the per-status doc counts, so the fresh-run
-    # path needs no separate counters job afterwards.
-    kstats = staged.agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.countDistinct("url", "page_index").alias("keys"),
-        F.countDistinct("url").alias("docs"),
-        F.countDistinct(
-            F.when(F.col("status") == "ERROR", F.col("url"))
-        ).alias("err_docs"),
-    ).collect()[0]
-    run_rows, run_keys, run_docs = (
-        int(kstats["rows"]), int(kstats["keys"]), int(kstats["docs"])
-    )
-    run_err_docs = int(kstats["err_docs"])
-    has_dup_keys = run_keys != run_rows
-    _mark("key_stats")
-    if first_run:
-        manifest_thread.join()
-        if has_dup_keys:
-            # rare: duplicate urls inside the very first batch —
-            # rewrite the sink deduplicated; the optimistic manifest
-            # summarized pre-dedup rows, so discard and rebuild.
-            # Lineage still reads the pre-rewrite files: drain it
-            # before replacing them.
-            _join_lineage()
-            shutil.rmtree(opt_manifest_path, ignore_errors=True)
-            deduped = staged.dropDuplicates(["url", "page_index"])
-            tmp = ParquetTable(
-                f"{out_dir}/_dedup_{run_id}", partition_by="url_bucket"
+        def _join_lineage() -> None:
+            # The lineage job scans ``staged``'s files; call this BEFORE
+            # any branch that deletes or replaces them (staging rmtree,
+            # dup-key sink rewrite), or the still-running scan would hit
+            # missing files and fail a run whose sink already committed.
+            lineage_thread.join()
+            if lineage_err:
+                raise lineage_err[0]
+
+        # fresh-sink runs: build the manifest OPTIMISTICALLY on a thread
+        # overlapping the lineage job, confirmed by an atomic rename.
+        # The J5 dup-key check NO LONGER runs its own countDistinct
+        # scan: build_manifest's per-url ``distinct_blocks`` rides the
+        # manifest shuffle, and summing the (tiny) manifest output
+        # yields the global key stats — one scan of the staged files
+        # where round 2 had two. (``first_run`` was decided before
+        # staging — staging writes INTO the sink path on a fresh run,
+        # so re-probing here would lie.)
+        manifest_err: list[BaseException] = []
+        opt_manifest_path = f"{out_dir}/_manifest_opt_{run_id}"
+        manifest_thread = None
+        if first_run:
+
+            def _manifest_job() -> None:
+                try:
+                    if job_group is not None:
+                        spark.sparkContext.setJobGroup(
+                            job_group, f"extraction {run_id} (manifest)",
+                            interruptOnCancel=True,
+                        )
+                    build_manifest(staged).write.mode("overwrite").parquet(
+                        opt_manifest_path
+                    )
+                except BaseException as exc:
+                    manifest_err.append(exc)
+
+            manifest_thread = threading.Thread(
+                target=_manifest_job, daemon=True
             )
-            tmp.overwrite(deduped)
-            shutil.rmtree(extracted_tbl.path, ignore_errors=True)
-            shutil.move(tmp.path, extracted_tbl.path)
-            manifest_tbl.overwrite(
-                build_manifest(extracted_tbl.read(spark))
-            )
-        else:
+            manifest_thread.start()
+
+        if first_run:
+            manifest_thread.join()
             if manifest_err:
                 raise manifest_err[0]
-            # confirm the optimistically-built manifest atomically
-            shutil.rmtree(manifest_tbl.path, ignore_errors=True)
-            shutil.move(opt_manifest_path, manifest_tbl.path)
-    else:
-        extracted_tbl.merge_upsert(spark, staged,
-                                   keys=["url", "page_index"])
-        # manifest is maintained INCREMENTALLY: summarize only this
-        # run's urls and upsert by url — re-summarizing the whole
-        # committed table every run would be an O(table) pass that
-        # dwarfs small incremental runs. Post-merge the sink rows for
-        # this run's urls are final, so their manifest rows are too.
-        committed = committed_for_run(spark, extracted_tbl, staged)
-        run_manifest = build_manifest(
-            committed.join(
-                staged.select("url").distinct(), "url", "left_semi"
+            # global key stats from the manifest output (one row per
+            # url): dup detection is still GLOBAL — per-url distinct
+            # page counts sum to the corpus-wide distinct key count.
+            mstats = (
+                spark.read.parquet(opt_manifest_path)
+                .agg(
+                    F.sum("total_blocks").alias("rows"),
+                    F.sum("distinct_blocks").alias("keys"),
+                    F.count(F.lit(1)).alias("docs"),
+                    F.count(
+                        F.when(F.col("status") == "ERROR", F.lit(1))
+                    ).alias("err_docs"),
+                )
+                .collect()[0]
             )
+        else:
+            # incremental runs have no manifest thread: one keys-only
+            # aggregation over the (small) staged batch
+            mstats = staged.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.countDistinct("url", "page_index").alias("keys"),
+                F.countDistinct("url").alias("docs"),
+                F.countDistinct(
+                    F.when(F.col("status") == "ERROR", F.col("url"))
+                ).alias("err_docs"),
+            ).collect()[0]
+        run_rows, run_keys, run_docs = (
+            int(mstats["rows"]), int(mstats["keys"]), int(mstats["docs"])
         )
-        manifest_tbl.merge_upsert(spark, run_manifest, keys=["url"])
-        _join_lineage()  # lineage scans staging_path — drain first
-        shutil.rmtree(staging_path, ignore_errors=True)
-    _mark("sink_and_manifest")
-
-    if first_run and not has_dup_keys:
-        # fresh sink, no dup keys: all-time == this run, and the
-        # key-stats shuffle already produced every counter — no
-        # manifest-scan job needed (manifest status is ERROR iff the
-        # url has >=1 error row, exactly countDistinct(ERROR url)).
-        docs_in, rows_written = run_docs, run_rows
-        docs_done, docs_error = run_docs - run_err_docs, run_err_docs
-    else:
-        # incremental or dedup-rewritten: counters must reflect the
-        # committed all-time manifest — one tiny aggregation job
-        stats = (
-            manifest_tbl.read(spark)
-            .groupBy("status")
-            .agg(
-                F.count(F.lit(1)).alias("docs"),
-                F.sum("total_blocks").alias("rows"),
+        run_err_docs = int(mstats["err_docs"])
+        has_dup_keys = run_keys != run_rows
+        _mark("key_stats")
+        if first_run:
+            if has_dup_keys:
+                # rare: duplicate urls inside the very first batch —
+                # rewrite the sink deduplicated; the optimistic manifest
+                # summarized pre-dedup rows, so discard and rebuild.
+                # Lineage still reads the pre-rewrite files: drain it
+                # before replacing them.
+                _join_lineage()
+                shutil.rmtree(opt_manifest_path, ignore_errors=True)
+                deduped = staged.dropDuplicates(["url", "page_index"])
+                tmp = ParquetTable(
+                    f"{out_dir}/_dedup_{run_id}", partition_by="url_bucket"
+                )
+                tmp.overwrite(deduped)
+                shutil.rmtree(extracted_tbl.path, ignore_errors=True)
+                shutil.move(tmp.path, extracted_tbl.path)
+                manifest_tbl.overwrite(
+                    build_manifest(extracted_tbl.read(spark))
+                )
+            else:
+                if manifest_err:
+                    raise manifest_err[0]
+                # confirm the optimistically-built manifest atomically
+                shutil.rmtree(manifest_tbl.path, ignore_errors=True)
+                shutil.move(opt_manifest_path, manifest_tbl.path)
+        else:
+            extracted_tbl.merge_upsert(spark, staged,
+                                       keys=["url", "page_index"])
+            # manifest is maintained INCREMENTALLY: summarize only this
+            # run's urls and upsert by url — re-summarizing the whole
+            # committed table every run would be an O(table) pass that
+            # dwarfs small incremental runs. Post-merge the sink rows for
+            # this run's urls are final, so their manifest rows are too.
+            committed = committed_for_run(spark, extracted_tbl, staged)
+            run_manifest = build_manifest(
+                committed.join(
+                    staged.select("url").distinct(), "url", "left_semi"
+                )
             )
-            .collect()
-        )
-        docs_done = sum(r["docs"] for r in stats if r["status"] == "DONE")
-        docs_error = sum(
-            r["docs"] for r in stats if r["status"] == "ERROR"
-        )
-        docs_in = sum(r["docs"] for r in stats)
-        rows_written = sum(r["rows"] for r in stats)
-    _mark("counters")
+            manifest_tbl.merge_upsert(spark, run_manifest, keys=["url"])
+            _join_lineage()  # lineage scans staging_path — drain first
+            shutil.rmtree(staging_path, ignore_errors=True)
+        _mark("sink_and_manifest")
 
-    _join_lineage()  # no-op if a branch above already drained it
-    _mark("lineage_join")
+        if first_run and not has_dup_keys:
+            # fresh sink, no dup keys: all-time == this run, and the
+            # key-stats shuffle already produced every counter — no
+            # manifest-scan job needed (manifest status is ERROR iff the
+            # url has >=1 error row, exactly countDistinct(ERROR url)).
+            docs_in, rows_written = run_docs, run_rows
+            docs_done, docs_error = run_docs - run_err_docs, run_err_docs
+        else:
+            # incremental or dedup-rewritten: counters must reflect the
+            # committed all-time manifest — one tiny aggregation job
+            stats = (
+                manifest_tbl.read(spark)
+                .groupBy("status")
+                .agg(
+                    F.count(F.lit(1)).alias("docs"),
+                    F.sum("total_blocks").alias("rows"),
+                )
+                .collect()
+            )
+            docs_done = sum(r["docs"] for r in stats if r["status"] == "DONE")
+            docs_error = sum(
+                r["docs"] for r in stats if r["status"] == "ERROR"
+            )
+            docs_in = sum(r["docs"] for r in stats)
+            rows_written = sum(r["rows"] for r in stats)
+        _mark("counters")
+
+        _join_lineage()  # no-op if a branch above already drained it
+        _mark("lineage_join")
+    finally:
+        for _k, _v in conf_saved.items():
+            spark.conf.set(_k, _v)
 
     if job_group is not None:
         # job groups are sticky per thread: don't tag the caller's
