@@ -297,8 +297,8 @@ def _q_tpch_q6(spark, sf):
     price = F.col("l_extendedprice").cast("decimal(18,4)")
     disc = F.col("l_discount").cast("decimal(5,3)")
     filtered = li.filter(
-        (F.col("l_shipdate") >= "2024-01-01")
-        & (F.col("l_shipdate") < "2025-01-01")
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
@@ -315,10 +315,171 @@ _SQL_TPCH_Q6 = (
         "cast(sum(cast(l_extendedprice AS decimal(18,4)) * "
         "cast(l_discount AS decimal(5,3))) AS double)", 2)
     + " AS revenue, count(*) AS n_items FROM lineitem "
-    "WHERE l_shipdate >= '2024-01-01' AND l_shipdate < '2025-01-01' "
+    "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' "
     "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
 )
 
+
+
+
+def _q_tpch_q4(spark, sf):
+    """TPC-H q4 (order-priority check), adapted to the driver tables:
+    no l_commitdate/l_receiptdate exist, so the EXISTS predicate is
+    "some line item shipped more than 90 days after the order date"
+    (same shape: date-windowed orders, left_semi to lineitem, priority
+    rollup)."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    win = orders.filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    late = win.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate").cast("timestamp")
+            > F.date_add(F.col("o_orderdate").cast("timestamp"), 90)
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_TPCH_Q4 = (
+    "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+    "WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    "AND l_shipdate > o_orderdate + INTERVAL 90 DAY) "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+def _q_tpch_q12(spark, sf):
+    """TPC-H q12 (shipmode/priority CASE aggregation), adapted: the
+    driver lineitem has no l_shipmode, so l_returnflag plays the
+    grouping dimension; the high/low-priority conditional sums keep
+    q12's join + CASE-agg shape."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SQL_TPCH_Q12 = (
+    "SELECT l_returnflag, "
+    "sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 "
+    "ELSE 0 END) AS high_line_count, "
+    "sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 "
+    "ELSE 0 END) AS low_line_count "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' "
+    "GROUP BY l_returnflag ORDER BY l_returnflag"
+)
+
+
+def _q_tpch_q13(spark, sf):
+    """TPC-H q13 (customer order-count distribution): customers LEFT
+    JOIN their non-urgent orders, per-customer counts, then the
+    distribution of those counts (two aggregations, outer join keeps
+    zero-order customers)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(
+            orders, F.col("o_custkey") == F.col("c_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_SQL_TPCH_Q13 = (
+    "SELECT c_count, count(*) AS custdist FROM ("
+    "SELECT c_custkey, count(o_orderkey) AS c_count FROM customer "
+    "LEFT JOIN (SELECT * FROM orders "
+    "WHERE o_orderpriority <> '1-URGENT') o ON o_custkey = c_custkey "
+    "GROUP BY c_custkey) GROUP BY c_count "
+    "ORDER BY custdist DESC, c_count DESC"
+)
+
+
+def _q_tpch_q19(spark, sf):
+    """TPC-H q19 (disjunctive predicate revenue), adapted to the
+    available part columns: three OR'd (brand, size-range,
+    quantity-range) branches — the classic test that an OR-of-ANDs
+    join predicate still runs as an equi-join on p_partkey with the
+    residual as a post-join filter, never a cartesian."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    b = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(5,3)")
+    return j.filter(b).agg(
+        round_det(
+            F.sum(price * (F.lit(1).cast("decimal(5,3)") - disc)).cast(
+                "double"
+            ),
+            2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_SQL_TPCH_Q19 = (
+    "SELECT "
+    + _sql_round_det(
+        "cast(sum(cast(l_extendedprice AS decimal(18,4)) * "
+        "(cast(1 AS decimal(5,3)) - cast(l_discount AS decimal(5,3)))) "
+        "AS double)", 2)
+    + " AS revenue, count(*) AS n_items "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
+    "AND l_quantity BETWEEN 1 AND 11) "
+    "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 "
+    "AND l_quantity BETWEEN 10 AND 20) "
+    "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 "
+    "AND l_quantity BETWEEN 20 AND 30)"
+)
 
 
 
@@ -327,7 +488,11 @@ DEFS = {
     "tpch_q1": (_q_tpch_q1, _SQL_TPCH_Q1),
     "tpch_q3": (_q_tpch_q3, _SQL_TPCH_Q3),
     "tpch_q5": (_q_tpch_q5, _SQL_TPCH_Q5),
+    "tpch_q4": (_q_tpch_q4, _SQL_TPCH_Q4),
     "tpch_q6": (_q_tpch_q6, _SQL_TPCH_Q6),
+    "tpch_q12": (_q_tpch_q12, _SQL_TPCH_Q12),
+    "tpch_q13": (_q_tpch_q13, _SQL_TPCH_Q13),
+    "tpch_q19": (_q_tpch_q19, _SQL_TPCH_Q19),
     "tpch_q10": (_q_tpch_q10, _SQL_TPCH_Q10),
     "tpch_q14": (_q_tpch_q14, _SQL_TPCH_Q14),
     "tpch_q18": (_q_tpch_q18, _SQL_TPCH_Q18),

@@ -89,6 +89,10 @@ MANIFEST: list[str] = [
     "split_pdf_payloads",
     # -- round-3 additions (inserted here as they land) ---------------
     "merge_upsert",
+    "tpch_q4",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q19",
     # -- scale-critical veterans (driver-green in r1/r2) --------------
     "exact_dedup",
     "minhash_signatures",
