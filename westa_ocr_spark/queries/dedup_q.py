@@ -20,13 +20,24 @@ from westa_ocr_spark.operators import dedup  # noqa: F401
 # Deduplication
 
 def _q_exact_dedup(spark, sf):
-    return dedup.exact_duplicates(_t(spark, sf, "documents"))
+    """Exact dup groups over documents PLUS a deterministic duplicated
+    slice (doc_id % 7 == 3 re-inserted under doc_id + 100000): the raw
+    table can have zero byte-identical pairs at some scale factors,
+    which would make the oracle row trivially empty — the seeded
+    duplicates keep the check non-degenerate at every sf."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return dedup.exact_duplicates(docs.unionByName(dups))
 
 
 _SQL_EXACT_DEDUP = (
     f"SELECT fp, count(*) AS group_size, min(doc_id) AS canonical_id "
     f"FROM (SELECT md5({_SQL_NORM.format(c='text')}) AS fp, doc_id "
-    "FROM documents) GROUP BY fp HAVING count(*) > 1"
+    "FROM (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 3)"
+    ") GROUP BY fp HAVING count(*) > 1"
 )
 
 
