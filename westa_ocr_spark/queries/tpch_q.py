@@ -483,6 +483,302 @@ _SQL_TPCH_Q19 = (
 
 
 
+def _q_tpch_q7(spark, sf):
+    """TPC-H q7 (volume shipping between two nations): lineitem ->
+    supplier nation, orders -> customer nation, symmetric nation-pair
+    filter, revenue per (supp_nation, cust_nation, year). The two
+    nation legs are independent broadcast joins of a 25-row dim."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(5,3)")
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("timestamp")).alias("l_year"),
+        )
+        .agg(
+            round_det(
+                F.sum(
+                    price * (F.lit(1).cast("decimal(5,3)") - disc)
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_SQL_TPCH_Q7 = (
+    "SELECT supp_nation, cust_nation, l_year, "
+    + _sql_round_det(
+        "cast(sum(cast(l_extendedprice AS decimal(18,4)) * "
+        "(cast(1 AS decimal(5,3)) - cast(l_discount AS decimal(5,3)))) "
+        "AS double)", 2)
+    + " AS revenue FROM ("
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "year(l_shipdate) AS l_year, l_extendedprice, l_discount "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+    "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+    "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01' "
+    "AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') "
+    "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))) "
+    "GROUP BY supp_nation, cust_nation, l_year "
+    "ORDER BY supp_nation, cust_nation, l_year"
+)
+
+
+def _q_tpch_q8(spark, sf):
+    """TPC-H q8 (national market share): PROMO-type parts sold to
+    ASIA-region customers; share of supplier-nation NATION_3 in total
+    yearly volume. Exact decimal sums on both numerator and
+    denominator; the division happens in double on both engines."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    cn = (
+        nation.join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("c_nk"))
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(5,3)")
+    vol = price * (F.lit(1).cast("decimal(5,3)") - disc)
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    year = F.year(F.col("o_orderdate").cast("timestamp"))
+    return (
+        j.groupBy(year.alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == "NATION_3", vol
+                ).otherwise(F.lit(0).cast("decimal(18,4)"))
+            ).alias("_nat"),
+            F.sum(vol).alias("_tot"),
+        )
+        .select(
+            "o_year",
+            round_det(
+                F.col("_nat").cast("double") / F.col("_tot").cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_SQL_TPCH_Q8 = (
+    "SELECT o_year, "
+    + _sql_round_det(
+        "cast(nat AS double) / cast(tot AS double)", 6)
+    + " AS mkt_share FROM ("
+    "SELECT year(o_orderdate) AS o_year, "
+    "sum(CASE WHEN n1.n_name = 'NATION_3' THEN "
+    "cast(l_extendedprice AS decimal(18,4)) * "
+    "(cast(1 AS decimal(5,3)) - cast(l_discount AS decimal(5,3))) "
+    "ELSE cast(0 AS decimal(18,4)) END) AS nat, "
+    "sum(cast(l_extendedprice AS decimal(18,4)) * "
+    "(cast(1 AS decimal(5,3)) - cast(l_discount AS decimal(5,3)))) "
+    "AS tot "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+    "JOIN region ON n2.n_regionkey = r_regionkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+    "WHERE p_type = 'PROMO' AND r_name = 'ASIA' "
+    "AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01' "
+    "GROUP BY 1) ORDER BY o_year"
+)
+
+
+def _q_tpch_q15(spark, sf):
+    """TPC-H q15 (top supplier): quarterly revenue per supplier; emit
+    the supplier(s) whose revenue equals the maximum. The equality
+    test runs on EXACT decimal sums (order-independent), never on
+    rounded doubles."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(5,3)")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(price * (F.lit(1).cast("decimal(5,3)") - disc)).alias(
+            "_rev"
+        )
+    )
+    top = rev.agg(F.max("_rev").alias("_max"))
+    supp = _t(spark, sf, "supplier")
+    return (
+        rev.join(F.broadcast(top), F.col("_rev") == F.col("_max"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "supplier_no",
+            F.col("s_name").alias("s_name"),
+            round_det(F.col("_rev").cast("double"), 2).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("supplier_no")
+    )
+
+
+_SQL_TPCH_Q15 = (
+    "WITH rev AS (SELECT l_suppkey AS supplier_no, "
+    "sum(cast(l_extendedprice AS decimal(18,4)) * "
+    "(cast(1 AS decimal(5,3)) - cast(l_discount AS decimal(5,3)))) "
+    "AS r FROM lineitem "
+    "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01' "
+    "GROUP BY 1) "
+    "SELECT supplier_no, s_name, "
+    + _sql_round_det("cast(r AS double)", 2)
+    + " AS total_revenue FROM rev "
+    "JOIN supplier ON supplier_no = s_suppkey "
+    "WHERE r = (SELECT max(r) FROM rev) ORDER BY supplier_no"
+)
+
+
+def _q_tpch_q17(spark, sf):
+    """TPC-H q17 (small-quantity-order revenue): brand-filtered
+    lineitems whose quantity is below 20% of the part's average
+    quantity. The correlated subquery becomes a per-part aggregate
+    joined back (broadcast — one row per part). Quantities are whole
+    numbers, so the double average is exact and order-independent."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#23")
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avg_q), F.col("l_partkey") == F.col("ap"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return j.agg(
+        round_det(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double") / 7.0,
+            2,
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_SQL_TPCH_Q17 = (
+    "SELECT "
+    + _sql_round_det(
+        "cast(sum(cast(l_extendedprice AS decimal(18,4))) AS double)"
+        " / 7.0", 2)
+    + " AS avg_yearly, count(*) AS n_items "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "JOIN (SELECT l_partkey AS ap, avg(l_quantity) AS avg_qty "
+    "FROM lineitem GROUP BY 1) ON l_partkey = ap "
+    "WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty"
+)
+
+
+def _q_tpch_q22(spark, sf):
+    """TPC-H q22 (global sales opportunity), adapted: customers with
+    above-average positive balance and no RECENT orders (since
+    2000-01-01 — every sf0.01 customer has SOME order, so the
+    canonical no-orders form would be trivially empty), rolled up by
+    nation key (the driver customer table has no phone/cntrycode).
+    The average threshold is an exact decimal sum divided in double —
+    bit-identical on both engines regardless of row order."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(bal).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    rich = cust.join(F.broadcast(thr)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= "2000-01-01")
+    no_orders = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        no_orders.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            round_det(F.sum(bal).cast("double"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_SQL_TPCH_Q22 = (
+    "SELECT c_nationkey, count(*) AS numcust, "
+    + _sql_round_det(
+        "cast(sum(cast(c_acctbal AS decimal(18,2))) AS double)", 2)
+    + " AS totacctbal FROM customer "
+    "WHERE c_acctbal > (SELECT cast(sum(cast(c_acctbal AS "
+    "decimal(18,2))) AS double) / count(*) FROM customer "
+    "WHERE c_acctbal > 0) "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "AND o_orderdate >= '2000-01-01') "
+    "GROUP BY c_nationkey ORDER BY c_nationkey"
+)
+
+
+
 # name -> (Spark DataFrame fn, DuckDB oracle SQL or None).
 DEFS = {
     "tpch_q1": (_q_tpch_q1, _SQL_TPCH_Q1),
@@ -493,6 +789,11 @@ DEFS = {
     "tpch_q12": (_q_tpch_q12, _SQL_TPCH_Q12),
     "tpch_q13": (_q_tpch_q13, _SQL_TPCH_Q13),
     "tpch_q19": (_q_tpch_q19, _SQL_TPCH_Q19),
+    "tpch_q7": (_q_tpch_q7, _SQL_TPCH_Q7),
+    "tpch_q8": (_q_tpch_q8, _SQL_TPCH_Q8),
+    "tpch_q15": (_q_tpch_q15, _SQL_TPCH_Q15),
+    "tpch_q17": (_q_tpch_q17, _SQL_TPCH_Q17),
+    "tpch_q22": (_q_tpch_q22, _SQL_TPCH_Q22),
     "tpch_q10": (_q_tpch_q10, _SQL_TPCH_Q10),
     "tpch_q14": (_q_tpch_q14, _SQL_TPCH_Q14),
     "tpch_q18": (_q_tpch_q18, _SQL_TPCH_Q18),

@@ -93,6 +93,11 @@ MANIFEST: list[str] = [
     "tpch_q12",
     "tpch_q13",
     "tpch_q19",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q22",
     # -- scale-critical veterans (driver-green in r1/r2) --------------
     "exact_dedup",
     "minhash_signatures",
