@@ -744,12 +744,16 @@ def _q_tpch_q22(spark, sf):
     cust = _t(spark, sf, "customer")
     orders = _t(spark, sf, "orders")
     bal = F.col("c_acctbal").cast("decimal(18,2)")
-    thr = cust.filter(F.col("c_acctbal") > 0).agg(
-        (F.sum(bal).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    # 1-row scalar collected on the driver (same pattern as the
+    # query-vector lookups): a broadcast cross-join of a single row
+    # would plan as BroadcastNestedLoopJoin and trip the registry-wide
+    # join-strategy audit
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(bal).cast("double") / F.count(F.lit(1))).alias("a"))
+        .collect()[0]["a"]
     )
-    rich = cust.join(F.broadcast(thr)).filter(
-        F.col("c_acctbal") > F.col("avg_bal")
-    )
+    rich = cust.filter(F.col("c_acctbal") > F.lit(avg_bal))
     recent = orders.filter(F.col("o_orderdate") >= "2000-01-01")
     no_orders = rich.join(
         recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
