@@ -120,6 +120,31 @@ def test_partitioned_merge_rewrites_only_affected_buckets(
     assert len(got) == 17
 
 
+def test_compact_collapses_bucket_files(spark, tmp_path):
+    """Compaction rewrites each bucket to one file (files accumulate
+    as tasks x buckets x merges) and preserves every row."""
+    import os
+
+    tbl = ParquetTable(str(tmp_path / "pt"), partition_by="b")
+    for batch in range(3):
+        df = spark.createDataFrame(
+            [(batch * 100 + k, 1, f"v{batch}_{k}", k % 4)
+             for k in range(16)],
+            ["k", "p", "v", "b"],
+        ).repartition(4)  # several writer tasks -> several files/bucket
+        tbl.merge_upsert(spark, df, keys=["k", "p"])
+    before = _rows(spark, tbl)
+
+    def n_files(b):
+        d = os.path.join(tbl.path, f"b={b}")
+        return len([n for n in os.listdir(d) if n.endswith(".parquet")])
+
+    assert any(n_files(b) > 1 for b in range(4))  # fragmentation real
+    tbl.compact(spark)
+    assert all(n_files(b) == 1 for b in range(4))
+    assert _rows(spark, tbl) == before
+
+
 def test_partitioned_merge_move_phase_crash_recovers(spark, tmp_path):
     """Crash mid-move (marker present in __tmp): recovery must move
     the committed unaffected bucket dirs BACK and discard the

@@ -24,6 +24,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 
 def _dir_nonempty(path: str) -> bool:
@@ -148,6 +149,29 @@ class ParquetTable:
         merged = kept.unionByName(df.select(*existing.columns))
         tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
+        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Small-file compaction: rewrite the table so each partition
+        holds one file (the extract write fans every task into every
+        bucket dir, so files accumulate as tasks x buckets x runs —
+        the same reason Iceberg ships rewrite_data_files). One shuffle
+        hash-partitioned on the partition column routes each bucket to
+        exactly one task; the swap reuses the crash-safe tmp/old
+        rename protocol."""
+        df = self.read(spark)
+        if self.partition_by and self.partition_by in df.columns:
+            df = df.repartition(F_col(self.partition_by))
+        else:
+            df = df.coalesce(1)
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
+        w = df.write
+        if self.partition_by and self.partition_by in df.columns:
+            w = w.partitionBy(self.partition_by)
+        w.mode("overwrite").parquet(tmp)
         old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
         os.rename(self.path, old)
         os.rename(tmp, self.path)
