@@ -68,16 +68,40 @@ _LANG_STOPWORDS = {
 }
 
 
-def lang_scores(col: Column) -> dict[str, Column]:
-    return {
-        lang: sum(
-            (_count_occurrences(col, w) for w in words), F.lit(0).cast("long")
-        )
-        for lang, words in _LANG_STOPWORDS.items()
-    }
+_CJK_LANGS = {"ja", "zh"}
 
 
-def lang_best_struct(col: Column) -> Column:
+def lang_scores(col: Column, words: Column | None = None
+                ) -> dict[str, Column]:
+    """Per-language marker-hit counts.
+
+    Space-delimited languages count word-array membership (ONE token
+    scan per language over an 8-element literal set — round 3; the
+    previous 8-replace-per-language form rescanned the full text 80
+    times per row). CJK markers have no word boundaries and stay
+    substring replace-counts. Consecutive duplicate stopwords now
+    count exactly (the padded-replace form undercounted "the the the"
+    as 2 — non-overlapping scan shared the boundary space); the DuckDB
+    twin moved in lockstep.
+    """
+    if words is None:
+        words = F.split(col, " ")
+    out: dict[str, Column] = {}
+    for lang, markers in _LANG_STOPWORDS.items():
+        if lang in _CJK_LANGS:
+            out[lang] = sum(
+                (_count_occurrences(col, w) for w in markers),
+                F.lit(0).cast("long"),
+            )
+        else:
+            toks = F.array(*[F.lit(m.strip()) for m in markers])
+            out[lang] = F.size(
+                F.filter(words, lambda w: F.array_contains(toks, w))
+            ).cast("long")
+    return out
+
+
+def lang_best_struct(col: Column, words: Column | None = None) -> Column:
     """argmax over language scores as ONE array_max expression.
 
     Each struct is (score, -rank) with langs in sorted order, so the
@@ -87,7 +111,7 @@ def lang_best_struct(col: Column) -> Column:
     per-branch CASE (the 4-language round-1 shape) would replicate the
     96 occurrence counters into every comparison.
     """
-    scores = lang_scores(col)
+    scores = lang_scores(col, words)
     langs = sorted(scores)
     return F.array_max(
         F.array(
@@ -122,9 +146,16 @@ def lang_id(col: Column) -> Column:
 
 
 def with_lang_id(df, text_col: str, out_col: str = "lang_id"):
-    """Staged language ID: adds ``out_col`` to ``df`` (the scale path)."""
-    staged = df.select(
-        "*", lang_best_struct(F.col(text_col)).alias("_lang_best")
+    """Staged language ID: adds ``out_col`` to ``df`` (the scale path).
+
+    Two stages: the word array materializes once (10 language filters
+    share it instead of re-splitting), then the argmax struct."""
+    s1 = df.select("*", F.split(F.col(text_col), " ").alias("_lang_w"))
+    staged = s1.select(
+        "*",
+        lang_best_struct(
+            F.col(text_col), words=F.col("_lang_w")
+        ).alias("_lang_best"),
     )
     return staged.select(
         *df.columns, lang_from_best(F.col("_lang_best")).alias(out_col)

@@ -37,10 +37,19 @@ def _sql_occ(col: str, needle: str) -> str:
 
 
 def _sql_lang_scores(col: str) -> dict[str, str]:
-    return {
-        lang: " + ".join(_sql_occ(col, w) for w in words)
-        for lang, words in textfns._LANG_STOPWORDS.items()
-    }
+    """Twin of textfns.lang_scores: word-array membership counts for
+    space-delimited languages, substring replace-counts for CJK."""
+    out = {}
+    for lang, words in textfns._LANG_STOPWORDS.items():
+        if lang in textfns._CJK_LANGS:
+            out[lang] = " + ".join(_sql_occ(col, w) for w in words)
+        else:
+            toks = ", ".join(f"'{w.strip()}'" for w in words)
+            out[lang] = (
+                f"cast(len(list_filter(string_split({col}, ' '), "
+                f"x -> list_contains([{toks}], x))) as bigint)"
+            )
+    return out
 
 
 def _sql_lang_best(col: str) -> str:
