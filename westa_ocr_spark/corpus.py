@@ -19,7 +19,7 @@ import datetime as _dt
 import hashlib
 import os
 
-from westa_ocr_spark.kernel.pdf_mini import write_pdf
+from westa_ocr_spark.kernel.pdf_mini import encrypt_pdf, write_pdf
 
 _WORDS = (
     "spark shuffle partition columnar vector batch arrow kernel density "
@@ -36,7 +36,7 @@ OVERSIZED_BYTES = 256 * 1024
 
 # bump when the document grammar changes: cache directories derived
 # from the corpus must not survive a grammar change
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 
 def _h(i: int, salt: str, seed: int = 42) -> bytes:
@@ -124,22 +124,27 @@ def make_html(i: int, seed: int = 42, oversized: bool = False) -> bytes:
 
 
 def make_pdf(i: int, seed: int = 42) -> bytes:
-    """PDF docs cycle through real-world dialects (corpus v3): classic
-    uncompressed, FlateDecode'd, TJ-array show text, and PDF 1.5
-    object-stream/xref-stream layouts — so the pipeline's PDF path is
-    exercised against pypdf-class documents, not just the toy writer."""
+    """PDF docs cycle through real-world dialects (corpus v4): classic
+    uncompressed, FlateDecode'd, TJ-array show text, PDF 1.5
+    object-stream/xref-stream layouts, and empty-user-password RC4
+    encrypted (standard handler R3) — so the pipeline's PDF path is
+    exercised against pypdf-class documents, including the encrypted
+    class pypdf opens silently. Extracted text is dialect-independent,
+    so the pinned byte goldens hold across corpus versions."""
     n_pages = 1 + _hint(i, "pp", 3, seed)  # 1..3 pages
     pages = [
         "\n".join(_sentence(i, p * 100 + line, 7, seed) for line in range(3))
         for p in range(n_pages)
     ]
-    dialect = _hint(i, "pd", 4, seed)
+    dialect = _hint(i, "pd", 5, seed)
     if dialect == 1:
         return write_pdf(pages, compress=True)
     if dialect == 2:
         return write_pdf(pages, compress=True, tj_arrays=True)
     if dialect == 3:
         return write_pdf(pages, objstm=True, tj_arrays=True)
+    if dialect == 4:
+        return encrypt_pdf(write_pdf(pages, compress=True))
     return write_pdf(pages)
 
 

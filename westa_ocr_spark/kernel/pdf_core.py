@@ -464,6 +464,35 @@ def _std_object_key(key: bytes, num: int, gen: int) -> bytes:
     return h[: min(len(key) + 5, 16)]
 
 
+def make_standard_encryption(
+    r: int, length: int, id0: bytes
+) -> tuple[bytes, bytes, bytes]:
+    """(O, U, file_key) for an EMPTY owner+user password document —
+    algorithms 3/4/5, the writer-side complement of the decryptor
+    (used by the corpus generator's encrypted dialect)."""
+    import hashlib
+
+    n = 5 if r == 2 else length // 8
+    h = hashlib.md5(_PWD_PAD).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    okey = h[:n]
+    o = _rc4(okey, _PWD_PAD)
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+    key = _std_file_key({"R": r, "Length": length, "O": o, "P": -1}, id0)
+    if r == 2:
+        u = _rc4(key, _PWD_PAD)
+    else:
+        u = _rc4(key, hashlib.md5(_PWD_PAD + id0).digest())
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        u += b"\x00" * 16
+    return o, u, key
+
+
 class PdfDocument:
     """All objects of a PDF, loaded by tolerant full-file scan."""
 

@@ -246,6 +246,67 @@ def _write_pdf_objstm(pages: list[str], tj_arrays: bool) -> bytes:
     return bytes(buf)
 
 
+def encrypt_pdf(data: bytes, *, r: int = 3, length: int = 128) -> bytes:
+    """Encrypt a written PDF with the standard handler and an EMPTY
+    user password (the document class pypdf opens silently; our
+    reader decrypts it via ``pdf_core._setup_decryption``).
+
+    RC4 is length-preserving, so every stream payload is ciphered IN
+    PLACE (byte offsets, ``/Length`` values, and the xref all stay
+    valid), then an incremental-update tail appends the ``/Encrypt``
+    dictionary and a new trailer carrying it plus the ``/ID``. The
+    file ID derives from the plaintext md5 — deterministic corpus.
+    """
+    import hashlib
+    import re
+
+    from westa_ocr_spark.kernel.pdf_core import (
+        _rc4,
+        _std_object_key,
+        make_standard_encryption,
+    )
+
+    id0 = hashlib.md5(data).digest()
+    o, u, key = make_standard_encryption(r, length, id0)
+
+    out = bytearray(data)
+    max_obj = 0
+    for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", data):
+        num, gen = int(m.group(1)), int(m.group(2))
+        max_obj = max(max_obj, num)
+        s = data.find(b"stream", m.end())
+        e_obj = data.find(b"endobj", m.end())
+        if s < 0 or (0 <= e_obj < s):
+            continue  # no stream in this object
+        s += len(b"stream")
+        if data[s : s + 2] == b"\r\n":
+            s += 2
+        elif data[s : s + 1] in (b"\n", b"\r"):
+            s += 1
+        e = data.find(b"endstream", s)
+        payload = bytes(data[s:e])
+        # the writer terminates payloads with exactly one newline
+        # before 'endstream'; keep it outside the ciphertext
+        if payload.endswith(b"\n"):
+            payload, tail = payload[:-1], b"\n"
+        else:
+            tail = b""
+        out[s:e] = _rc4(_std_object_key(key, num, gen), payload) + tail
+    v = 1 if r == 2 else 2
+    enc_num = max_obj + 1
+    tail = (
+        b"%d 0 obj\n<< /Filter /Standard /V %d /R %d /Length %d "
+        b"/O <%s> /U <%s> /P -1 >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R /Encrypt %d 0 R /ID [<%s> <%s>] >>\n"
+        b"%%%%EOF\n"
+        % (
+            enc_num, v, r, length, o.hex().encode(), u.hex().encode(),
+            enc_num, id0.hex().encode(), id0.hex().encode(),
+        )
+    )
+    return bytes(out) + tail
+
+
 def split_pdf(data: bytes) -> list[bytes]:
     """Split a PDF into standalone one-page PDFs, in page order.
 
