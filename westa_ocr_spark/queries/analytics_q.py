@@ -423,6 +423,47 @@ _SQL_CMS_ESTIMATES = (
 
 
 
+def _q_stratified_sample(spark, sf):
+    """Per-language stratified sampling for training-data mixes:
+    content-derived keep decision (md5 bucket of doc_id, portable
+    across engines — rand()/TABLESAMPLE are not) against per-language
+    rates. Verified by exact per-group counts, not just totals."""
+    rates = {"en": 800, "de": 500, "fr": 500, "es": 250, "zh": 125}
+    docs = _t(spark, sf, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+            16, 10,
+        ).cast("long") % 1000
+    )
+    rate = F.create_map(
+        *[x for k, v in rates.items() for x in (F.lit(k), F.lit(v))]
+    )[F.col("lang")]
+    kept = docs.filter(bucket < F.coalesce(rate, F.lit(0)))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("first_id"),
+            F.max("doc_id").alias("last_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_STRATIFIED_SAMPLE = (
+    "SELECT lang, count(*) AS n_kept, min(doc_id) AS first_id, "
+    "max(doc_id) AS last_id FROM documents "
+    "WHERE cast(concat('0x', substring(md5(cast(doc_id AS varchar)), "
+    "1, 6)) AS bigint) % 1000 < "
+    "CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500 "
+    "WHEN 'fr' THEN 500 WHEN 'es' THEN 250 WHEN 'zh' THEN 125 "
+    "ELSE 0 END "
+    "GROUP BY lang ORDER BY lang"
+)
+
+
+
 # name -> (Spark DataFrame fn, DuckDB oracle SQL or None).
 DEFS = {
     "rollup_counts": (_q_rollup_counts, _SQL_ROLLUP_COUNTS),
@@ -438,4 +479,5 @@ DEFS = {
     "running_range_window": (_q_running_range_window, _SQL_RUNNING_RANGE_WINDOW),
     "hypertable_rollup": (_q_hypertable_rollup, _SQL_HYPERTABLE_ROLLUP),
     "cms_estimates": (_q_cms_estimates, _SQL_CMS_ESTIMATES),
+    "stratified_sample": (_q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
 }

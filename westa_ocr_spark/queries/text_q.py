@@ -347,6 +347,57 @@ GROUP BY domain
 
 
 
+def _q_sequence_packing(spark, sf):
+    """Training-sequence packing: assign documents to fixed-budget
+    packs (2048 tokens) per language in deterministic doc_id order —
+    the sequence-packing step of an LLM data pipeline, expressed as a
+    running-sum window: a doc's pack is floor(cum_tokens_before /
+    budget). Greedy start-offset packing (a doc may straddle its
+    pack's end; exact bin packing is NP-hard and order-dependent),
+    deterministic and SQL-twinnable. Emits per-pack stats."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    toks = textfns.token_count(F.col("text"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = docs.select(
+        "doc_id", "lang", toks.alias("_tok")
+    ).select(
+        "doc_id", "lang", "_tok",
+        (F.sum("_tok").over(w) - F.col("_tok")).alias("_before"),
+    )
+    packed = staged.select(
+        "lang",
+        F.floor(F.col("_before") / 2048).cast("long").alias("pack_id"),
+        "_tok",
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("pack_tokens"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+_SQL_SEQUENCE_PACKING = (
+    "SELECT lang, pack_id, count(*) AS n_docs, "
+    "sum(tok) AS pack_tokens FROM ("
+    "SELECT lang, cast(floor((cum - tok) / 2048) AS bigint) AS pack_id,"
+    " tok FROM ("
+    "SELECT lang, tok, sum(tok) OVER ("
+    "PARTITION BY lang ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+    "FROM (SELECT doc_id, lang, " + _sql_token_count("text")
+    + " AS tok FROM documents WHERE doc_id < 2000))) "
+    "GROUP BY lang, pack_id ORDER BY lang, pack_id"
+)
+
+
+
 # name -> (Spark DataFrame fn, DuckDB oracle SQL or None).
 DEFS = {
     "lang_id": (_q_lang_id, _SQL_LANG_ID),
@@ -358,4 +409,5 @@ DEFS = {
     "pii_redaction": (_q_pii_redaction, _SQL_PII_REDACTION),
     "decontamination": (_q_decontamination, _SQL_DECONTAMINATION),
     "domain_stats": (_q_domain_stats, _SQL_DOMAIN_STATS),
+    "sequence_packing": (_q_sequence_packing, _SQL_SEQUENCE_PACKING),
 }

@@ -98,6 +98,8 @@ MANIFEST: list[str] = [
     "tpch_q15",
     "tpch_q17",
     "tpch_q22",
+    "stratified_sample",
+    "sequence_packing",
     # -- scale-critical veterans (driver-green in r1/r2) --------------
     "exact_dedup",
     "minhash_signatures",
