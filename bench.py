@@ -110,7 +110,7 @@ def main() -> None:
     # 5.8 -> 4.8 s (deep JIT warmup, NOT thermal — load was rising);
     # the product number is the sustained rate a long job converges
     # to, not a cold sample. Protocol documented in BASELINE.md.
-    def _settle(max_wait: float = 120.0, target: float = 2.0) -> None:
+    def _settle(max_wait: float = 240.0, target: float = 2.0) -> None:
         t0 = time.time()
         while time.time() - t0 < max_wait:
             if os.getloadavg()[0] < target:
