@@ -159,12 +159,18 @@ def run_extraction_job(
 
     resumed_skipped = 0
     if resume and extracted_tbl.exists():
-        done = extracted_tbl.read(spark)
-        # skipped-count comes from the manifest (one tiny row per
-        # committed url) — not a distinct() over the full sink
+        # the done-keys side is the MANIFEST (one tiny row per
+        # committed url) rather than the per-page sink: the anti-join
+        # probe shrinks by the pages-per-doc factor and never touches
+        # the wide table. A crash between sink merge and manifest
+        # upsert can only UNDER-report done urls — those docs
+        # re-extract and the idempotent keyed sink absorbs them
+        # (at-least-once, the T4/T5 contract).
         if manifest_tbl.exists():
-            resumed_skipped = manifest_tbl.read(spark).count()
+            done = manifest_tbl.read(spark)
+            resumed_skipped = done.count()
         else:
+            done = extracted_tbl.read(spark)
             resumed_skipped = done.select("url").distinct().count()
         work = resume_filter(work, done, key="url")
         _mark("resume_plan")
