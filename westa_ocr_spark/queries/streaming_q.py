@@ -69,8 +69,48 @@ _SQL_STREAM_SESSION_WINDOWS = (
 
 
 
+def _q_stream_first_seen(spark, sf):
+    """The applyInPandasWithState first-seen dedupe run FOR REAL as a
+    bounded stream (availableNow drain over one input file, so arrival
+    order is a single batch and the emitted first_seen_ts/dup counts
+    are exactly SQL min(ts)/count-1 per key — the property that makes
+    a custom stateful operator DuckDB-verifiable). Keys are the
+    events' user ids; 500 users x ~20 events each."""
+    import tempfile
+    import shutil
+
+    from westa_ocr_spark.streaming.stateful import start_first_seen_stream
+
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 10000).select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    base = tempfile.gettempdir() + "/westa_q_first_seen"
+    shutil.rmtree(base, ignore_errors=True)
+    src, out = f"{base}/src", f"{base}/out"
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    q = start_first_seen_stream(spark, src, out, schema, ts_col="ts")
+    q.awaitTermination()
+    return spark.read.parquet(f"{out}/first_seen").select(
+        "url",
+        F.col("first_seen_ts").cast("timestamp").alias("first_seen_ts"),
+        "duplicates_dropped",
+    )
+
+
+_SQL_STREAM_FIRST_SEEN = (
+    "SELECT 'u' || cast(user_id AS varchar) AS url, "
+    "min(ts) AS first_seen_ts, "
+    "count(*) - 1 AS duplicates_dropped "
+    "FROM events WHERE event_id < 10000 GROUP BY 1"
+)
+
+
+
 # name -> (Spark DataFrame fn, DuckDB oracle SQL or None).
 DEFS = {
     "stream_windowed_counts": (_q_stream_windowed_counts, _SQL_STREAM_WINDOWED_COUNTS),
     "stream_session_windows": (_q_stream_session_windows, _SQL_STREAM_SESSION_WINDOWS),
+    "stream_first_seen": (_q_stream_first_seen, _SQL_STREAM_FIRST_SEEN),
 }

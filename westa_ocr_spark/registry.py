@@ -100,6 +100,7 @@ MANIFEST: list[str] = [
     "tpch_q22",
     "stratified_sample",
     "sequence_packing",
+    "stream_first_seen",
     # -- scale-critical veterans (driver-green in r1/r2) --------------
     "exact_dedup",
     "minhash_signatures",
