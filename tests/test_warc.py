@@ -80,3 +80,31 @@ def test_spark_ingest_and_extract(spark, tmp_path):
     texts = {r["url"]: r["text"] for r in extracted}
     assert texts["https://c.example/z"] == "gamma doc"
     assert all(r["status"] == "DONE" for r in extracted)
+
+
+def test_warc_python_datasource_matches_binaryfile_path(spark, tmp_path):
+    """spark.read.format('warc') (the Spark 4 Python DataSource) must
+    produce exactly the rows the binaryFile+mapInPandas composition
+    produces: one partition per file, response records only, ERROR
+    row per corrupt file."""
+    from westa_ocr_spark.sources.warc import read_warc_pages
+    from westa_ocr_spark.sources.warc_datasource import register
+
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    (wdir / "seg-0.warc.gz").write_bytes(write_warc(RECORDS))
+    (wdir / "seg-bad.warc.gz").write_bytes(b"\x1f\x8bgarbage not gzip")
+
+    register(spark)
+    via_ds = spark.read.format("warc").load(str(wdir))
+    assert via_ds.rdd.getNumPartitions() == 2  # one per file
+    expected = read_warc_pages(spark, str(wdir)).drop("warc_file")
+    got = via_ds.drop("warc_file")
+    assert got.schema == expected.schema
+    key = lambda r: (str(r["url"]), str(r["status"]))  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(
+        map(key, expected.collect())
+    )
+    gv = {r["url"]: r for r in via_ds.collect()}
+    assert gv["https://a.example/x"]["html"] is not None
+    assert gv[None]["status"] == "ERROR"
