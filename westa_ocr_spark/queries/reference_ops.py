@@ -932,6 +932,31 @@ _SQL_MERGE_UPSERT = (
 )
 
 
+def _q_split_pages_udtf(spark, sf):
+    """X1 page split through the registered Python UDTF (Spark 4
+    table-function surface) — same semantics and the same DuckDB
+    oracle as the SQL split_pages_explode form, so the two
+    implementations cross-check each other through the driver."""
+    from westa_ocr_spark.functions import udtfs
+
+    udtfs.register(spark)
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    raw = F.concat(
+        F.lit("--- PAGE 1 ---\n"),
+        F.col("text"),
+        F.lit("\n--- PAGE 2 ---\n"),
+        F.col("source"),
+        F.lit("\n--- PAGE 3 ---\n   \n"),
+    )
+    docs.select(F.col("doc_id").alias("in_id"), raw.alias("raw")) \
+        .createOrReplaceTempView("_udtf_pages_in")
+    return spark.sql(
+        "SELECT s.doc_id, s.page_no, s.block "
+        "FROM _udtf_pages_in, LATERAL page_split(in_id, raw) s"
+    )
+
+
+
 # name -> (Spark DataFrame fn, DuckDB oracle SQL or None).
 DEFS = {
     "merge_upsert": (_q_merge_upsert, _SQL_MERGE_UPSERT),
@@ -953,6 +978,7 @@ DEFS = {
     "pagination_count": (_q_pagination_count, _SQL_PAGINATION_COUNT),
     "regex_header_extract": (_q_regex_header_extract, _SQL_REGEX_HEADER_EXTRACT),
     "split_pages_explode": (_q_split_pages_explode, _SQL_SPLIT_PAGES_EXPLODE),
+    "split_pages_udtf": (_q_split_pages_udtf, _SQL_SPLIT_PAGES_EXPLODE),
     "csv_detail_parse": (_q_csv_detail_parse, _SQL_CSV_DETAIL_PARSE),
     "token_mask": (_q_token_mask, _SQL_TOKEN_MASK),
     "ts_format": (_q_ts_format, _SQL_TS_FORMAT),

@@ -101,6 +101,7 @@ MANIFEST: list[str] = [
     "stratified_sample",
     "sequence_packing",
     "stream_first_seen",
+    "split_pages_udtf",
     # -- scale-critical veterans (driver-green in r1/r2) --------------
     "exact_dedup",
     "minhash_signatures",
