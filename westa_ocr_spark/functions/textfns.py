@@ -187,12 +187,12 @@ def punct_ratio(col: Column) -> Column:
 
 
 def stopword_ratio(col: Column) -> Column:
+    # total marker hits across all languages = sum of the lang_scores
+    # counters (word-array membership for space-delimited languages,
+    # substring counts for CJK — a marker shared by two languages,
+    # e.g. ' de ' in nl and pt, still counts once per language)
     toks = token_count(col)
-    stops = sum(
-        (_count_occurrences(col, w) for ws in _LANG_STOPWORDS.values()
-         for w in ws),
-        F.lit(0).cast("long"),
-    )
+    stops = sum(lang_scores(col).values(), F.lit(0).cast("long"))
     return F.when(toks == 0, F.lit(0.0)).otherwise(
         stops.cast("double") / toks.cast("double")
     )

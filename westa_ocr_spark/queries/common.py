@@ -84,9 +84,7 @@ def _sql_token_count(col: str) -> str:
 def _sql_stop_ratio(col: str) -> str:
     toks = _sql_token_count(col)
     stops = " + ".join(
-        _sql_occ(col, w)
-        for ws in textfns._LANG_STOPWORDS.values()
-        for w in ws
+        f"({expr})" for expr in _sql_lang_scores(col).values()
     )
     return (
         f"case when ({toks}) = 0 then 0.0 else "
