@@ -108,3 +108,33 @@ def test_warc_python_datasource_matches_binaryfile_path(spark, tmp_path):
     gv = {r["url"]: r for r in via_ds.collect()}
     assert gv["https://a.example/x"]["html"] is not None
     assert gv[None]["status"] == "ERROR"
+
+
+def test_warc_datasource_filter_pushdown_prunes_files(spark, tmp_path):
+    """An equality filter on warc_file must reach pushFilters and
+    prune PARTITIONS (only the named segment is read), not just rows
+    post-scan."""
+    from pyspark.sql import functions as F
+
+    from westa_ocr_spark.sources.warc_datasource import register
+
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    (wdir / "seg-0.warc.gz").write_bytes(write_warc(RECORDS))
+    (wdir / "seg-1.warc.gz").write_bytes(
+        write_warc(
+            [{"url": "https://c.example/z",
+              "date": "2025-02-03T08:00:00Z",
+              "html": b"<html><body><p>gamma doc</p></body></html>"}]
+        )
+    )
+    register(spark)
+    target = str(wdir / "seg-1.warc.gz")
+    df = (
+        spark.read.format("warc").load(str(wdir))
+        .filter(F.col("warc_file") == target)
+    )
+    # partition pruning is visible in the task count and the rows
+    assert df.rdd.getNumPartitions() == 1
+    rows = df.collect()
+    assert [r["url"] for r in rows] == ["https://c.example/z"]

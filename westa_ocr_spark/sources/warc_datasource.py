@@ -30,6 +30,9 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
     InputPartition,
 )
 
@@ -51,6 +54,28 @@ class WarcReader(DataSourceReader):
         if not path:
             raise ValueError("warc datasource requires .load(<path>)")
         self._path = path
+        self._file_filter: set[str] | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> list[Filter]:
+        """Consume warc_file equality filters as FILE pruning: a query
+        like ``WHERE warc_file = '/crawl/seg-7.warc.gz'`` plans only
+        the named segment's partition instead of scanning the whole
+        crawl — the Python-DataSource analogue of partition pruning.
+        Everything else stays with Spark."""
+        remaining: list[Filter] = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("warc_file",):
+                vals = {str(f.value)}
+            elif isinstance(f, In) and f.attribute == ("warc_file",):
+                vals = {str(v) for v in f.value}
+            else:
+                remaining.append(f)
+                continue
+            self._file_filter = (
+                vals if self._file_filter is None
+                else self._file_filter & vals
+            )
+        return remaining
 
     def partitions(self) -> list[InputPartition]:
         # one partition per WARC file = Common Crawl's sharding unit
@@ -63,6 +88,8 @@ class WarcReader(DataSourceReader):
         )
         if not files:
             raise ValueError(f"warc datasource: no files match {pattern}")
+        if self._file_filter is not None:
+            files = [f for f in files if f in self._file_filter]
         return [_WarcFilePartition(f) for f in files]
 
     def read(self, partition: _WarcFilePartition) -> Iterator[tuple]:
