@@ -208,6 +208,81 @@ def test_png_features_hand_computed():
         assert abs(g - e) < 1e-9
 
 
+def test_gif_pixel_decode_roundtrip_and_adversarial():
+    """The GIF LZW decoder recovers the writer's exact index raster,
+    and survives dict growth to 12 bits + clear-code resets on long
+    random rasters (encoded by the product encoder, decoded back)."""
+    import random
+    import struct
+
+    from westa_ocr_spark.operators.multimodal import (
+        _GIF_PALETTE,
+        _gif_lzw_encode,
+        decode_gif_pixels,
+        write_gif,
+    )
+
+    for w, h in ((1, 1), (7, 5), (40, 33)):
+        px = decode_gif_pixels(write_gif(w, h))
+        assert px.shape == (h, w, 3)
+        expect = [(x * 7 + y * 3) % 4 for y in range(h) for x in range(w)]
+        got = [
+            _GIF_PALETTE.index(tuple(px[y][x]))
+            for y in range(h) for x in range(w)
+        ]
+        assert got == expect, (w, h)
+
+    rng = random.Random(3)
+    idx = [rng.randrange(4) for _ in range(20000)]
+    enc = _gif_lzw_encode(idx, 2)
+    lsd = struct.pack("<HHBBB", 200, 100, 0b10000001, 0, 0)
+    gct = b"".join(bytes(c) for c in _GIF_PALETTE)
+    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, 200, 100, 0)
+    sub = bytearray()
+    for at in range(0, len(enc), 255):
+        c = enc[at : at + 255]
+        sub += bytes([len(c)]) + c
+    blob = b"GIF89a" + lsd + gct + img + b"\x02" + bytes(sub) + b"\x00;"
+    px = decode_gif_pixels(blob)
+    got = [
+        _GIF_PALETTE.index(tuple(px[y][x]))
+        for y in range(100) for x in range(200)
+    ]
+    assert got == idx
+
+
+def test_gif_features_hand_computed():
+    """write_gif's palette-index pattern is (x*7 + y*3) % 4: the GIF
+    feature vector must equal an independent recompute of the
+    palette-mapped per-channel stats."""
+    import math
+
+    from westa_ocr_spark.operators.multimodal import (
+        _GIF_PALETTE,
+        gif_pixel_features,
+        write_gif,
+    )
+
+    w, h = 9, 6
+    pix = [
+        _GIF_PALETTE[(x * 7 + y * 3) % 4]
+        for y in range(h) for x in range(w)
+    ]
+    expected = []
+    for c in range(3):
+        vals = [p[c] for p in pix]
+        mean = sum(vals) / len(vals)
+        var = sum((v - mean) ** 2 for v in vals) / len(vals)
+        expected += [
+            mean / 255.0, math.sqrt(var) / 255.0,
+            min(vals) / 255.0, max(vals) / 255.0,
+        ]
+    expected += [0.0] * 4
+    got = gif_pixel_features(write_gif(w, h))
+    for g, e in zip(got, expected):
+        assert abs(g - e) < 1e-9
+
+
 def test_png_decode_rejects_exotic(spark):
     import struct
 

@@ -9,12 +9,14 @@ What's REAL here: magic-byte sniffing; true image dimensions parsed
 from the container headers — PNG IHDR, JPEG SOF segment walk, GIF
 logical-screen descriptor (:func:`parse_image_dimensions`) — plus
 matching deterministic writers (:func:`write_png` emits correct CRCs
-and a zlib IDAT); and, round 3, a full PNG PIXEL decode
+and a zlib IDAT; :func:`write_gif` emits a real LZW-compressed
+raster); and, round 3, full PIXEL decodes for PNG
 (:func:`decode_png_pixels`: zlib IDAT inflate, scanline unfiltering
-for all five filter types, gray/RGB/RGBA/gray+alpha/palette), whose
-per-channel statistics are the PNG feature vector. What's still
-STUBBED: the embedding model for the entropy-coded formats
-(JPEG/GIF pixel data needs Huffman/LZW decoders PIL would provide) —
+for all five filter types, gray/RGB/RGBA/gray+alpha/palette) and GIF
+(:func:`decode_gif_pixels`: LSB-first variable-width LZW with dict
+growth/reset and the KwKwK case, palette-mapped), whose per-channel
+statistics are the feature vectors. What's still STUBBED: JPEG only
+— baseline entropy decode needs Huffman+IDCT, out of stdlib reach —
 a clearly-marked sha256 fake (:func:`_fake_features`); swapping in
 the real model changes ONE function body, none of the Spark
 plumbing. ``sample_frames`` likewise fakes the codec with a
@@ -176,11 +178,172 @@ def write_jpeg(width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + sos + entropy + b"\xff\xd9"
 
 
+def _gif_lzw_encode(indices: list[int], min_code: int) -> bytes:
+    """Greedy GIF LZW (LSB-first variable-width codes) — the writer
+    half of the round-3 real-GIF path."""
+    clear = 1 << min_code
+    end = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code + 1
+    out_bits: list[tuple[int, int]] = [(clear, width)]
+    w = b""
+    for idx in indices:
+        k = bytes([idx])
+        if w + k in table:
+            w += k
+            continue
+        out_bits.append((table[w], width))
+        table[w + k] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= (1 << 12):
+            out_bits.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        w = k
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((end, width))
+    acc = n = 0
+    data = bytearray()
+    for code, cw in out_bits:
+        acc |= code << n
+        n += cw
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+# 4-entry global color table used by the synthetic corpus GIFs
+_GIF_PALETTE = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+
+
 def write_gif(width: int, height: int) -> bytes:
-    """GIF89a header + logical screen descriptor + trailer."""
+    """REAL GIF89a: logical screen descriptor, 4-color global color
+    table, image descriptor, and an LZW-compressed index raster with
+    deterministic content derived from the dimensions (round 3 — the
+    previous writer emitted a header-only file with no image data)."""
+    # packed: GCT flag set, 1-bit color resolution, GCT size 4 (2^2)
+    lsd = struct.pack("<HHBBB", width, height, 0b10000001, 0, 0)
+    gct = b"".join(bytes(c) for c in _GIF_PALETTE)
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    indices = [
+        (x * 7 + y * 3) % len(_GIF_PALETTE)
+        for y in range(height) for x in range(width)
+    ]
+    lzw = _gif_lzw_encode(indices, min_code=2)
+    sub_blocks = bytearray()
+    for at in range(0, len(lzw), 255):
+        chunk = lzw[at : at + 255]
+        sub_blocks += bytes([len(chunk)]) + chunk
     return (
-        b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00;"
+        b"GIF89a" + lsd + gct + img_desc + b"\x02"
+        + bytes(sub_blocks) + b"\x00" + b";"
     )
+
+
+def decode_gif_pixels(data: bytes):
+    """REAL GIF pixel decode, pure stdlib + numpy: LSB-first
+    variable-width LZW over the first image block, palette-mapped to
+    an (h, w, 3) uint8 array. Non-interlaced, global-color-table GIFs
+    (the common web case); anything else raises ``ValueError``."""
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(data) < 13:
+        raise ValueError("corrupt GIF (truncated descriptor)")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    if not packed & 0x80:
+        raise ValueError("unsupported GIF (no global color table)")
+    gct_n = 2 << (packed & 0x07)
+    pal = np.frombuffer(
+        data[pos : pos + 3 * gct_n], dtype=np.uint8
+    ).reshape(-1, 3)
+    pos += 3 * gct_n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: skip label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:
+            break
+        elif b == 0x3B:
+            raise ValueError("corrupt GIF (no image block)")
+        else:
+            raise ValueError(f"corrupt GIF (unexpected block {b:#x})")
+    if pos >= len(data) or data[pos] != 0x2C:
+        raise ValueError("corrupt GIF (no image descriptor)")
+    _l, _t, w, h, ipacked = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+    if ipacked & 0x40:
+        raise ValueError("unsupported GIF (interlaced)")
+    if ipacked & 0x80:
+        raise ValueError("unsupported GIF (local color table)")
+    pos += 10
+    min_code = data[pos]
+    pos += 1
+    lzw = bytearray()
+    while pos < len(data) and data[pos]:
+        n = data[pos]
+        lzw += data[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+    # LSB-first variable-width LZW decode
+    clear = 1 << min_code
+    end = clear + 1
+    width_bits = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    acc = nbits = 0
+    out = bytearray()
+    prev: bytes | None = None
+    for byte in lzw:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width_bits:
+            code = acc & ((1 << width_bits) - 1)
+            acc >>= width_bits
+            nbits -= width_bits
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width_bits = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                prev = None
+                nbits = 0
+                acc = 0
+                break
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("corrupt GIF (bad first code)")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF (LZW code out of range)")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width_bits) and width_bits < 12:
+                width_bits += 1
+    if len(out) < w * h:
+        raise ValueError("corrupt GIF (raster underrun)")
+    idx = np.frombuffer(bytes(out[: w * h]), dtype=np.uint8)
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("corrupt GIF (palette index out of range)")
+    return pal[idx].reshape(h, w, 3)
 
 
 def _fake_features(data: bytes) -> list[float]:
@@ -303,13 +466,23 @@ def decode_png_pixels(data: bytes):
 
 
 def png_pixel_features(data: bytes) -> list[float]:
-    """Real 16-dim PNG feature vector from decoded pixels: for each of
-    up to 4 channels, (mean, std, min, max) normalized to [0, 1];
+    """Real 16-dim PNG feature vector from decoded pixels."""
+    return _channel_stat_features(decode_png_pixels(data))
+
+
+def gif_pixel_features(data: bytes) -> list[float]:
+    """Real 16-dim GIF feature vector from LZW-decoded pixels."""
+    return _channel_stat_features(decode_gif_pixels(data))
+
+
+def _channel_stat_features(px) -> list[float]:
+    """16-dim feature vector from an (h, w, c) uint8 array: for each
+    of up to 4 channels, (mean, std, min, max) normalized to [0, 1];
     absent channels contribute zeros. Deterministic, hand-verifiable
     (fixture-tested against an independent pure-python recompute)."""
     import numpy as np
 
-    px = decode_png_pixels(data).astype(np.float64)
+    px = px.astype(np.float64)
     feats: list[float] = []
     for c in range(4):
         if c < px.shape[2]:
@@ -355,10 +528,12 @@ def extract_image_features(media: DataFrame, url_col: str = "url",
                         raise ValueError("empty payload")
                     blob = bytes(data)
                     kind, w, h = parse_image_dimensions(blob)
-                    feature = (
-                        png_pixel_features(blob) if kind == "png"
-                        else _fake_features(blob)
-                    )
+                    if kind == "png":
+                        feature = png_pixel_features(blob)
+                    elif kind == "gif":
+                        feature = gif_pixel_features(blob)
+                    else:  # jpeg: entropy decode out of stdlib reach
+                        feature = _fake_features(blob)
                     row.update(
                         kind=kind, width=w, height=h, feature=feature,
                     )
