@@ -283,6 +283,60 @@ def test_gif_features_hand_computed():
         assert abs(g - e) < 1e-9
 
 
+def test_jpeg_codec_roundtrip_bounds():
+    """The baseline JPEG codec is REAL and lossy: uniform blocks are
+    DC-only (error bounded by half the DC quant step = 1 gray level),
+    smooth gradients stay within a couple of levels, and
+    progressive inputs fail cleanly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from westa_ocr_spark.kernel.jpeg_mini import (
+        decode_jpeg_gray,
+        write_jpeg_gray,
+    )
+
+    flat = np.full((16, 24), 97, dtype=np.uint8)
+    out = decode_jpeg_gray(write_jpeg_gray(flat))
+    assert len(np.unique(out)) == 1  # still perfectly flat
+    assert abs(int(out[0, 0]) - 97) <= 1  # DC quant half-step
+    # a DC multiple of the quant step roundtrips exactly
+    exact = np.full((8, 8), 128, dtype=np.uint8)
+    assert (decode_jpeg_gray(write_jpeg_gray(exact)) == 128).all()
+
+    y, x = np.mgrid[0:33, 0:47]
+    grad = ((x * 3 + y * 2) % 256).astype(np.uint8)
+    out = decode_jpeg_gray(write_jpeg_gray(grad))
+    assert out.shape == grad.shape
+    err = np.abs(out.astype(int) - grad.astype(int))
+    assert err.max() <= 4 and err.mean() < 1.5
+
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_gray(b"\x89PNG....")
+    # progressive SOF2 rejected cleanly
+    blob = write_jpeg_gray(flat).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_gray(blob)
+
+
+def test_jpeg_features_are_real_pixel_stats():
+    """media feature vector for JPEG comes from decoded pixels now:
+    a uniform-gray JPEG must yield mean=g/255, std=0, min=max=g."""
+    import numpy as np
+
+    from westa_ocr_spark.kernel.jpeg_mini import write_jpeg_gray
+    from westa_ocr_spark.operators.multimodal import jpeg_pixel_features
+
+    g = 160
+    blob = write_jpeg_gray(np.full((24, 24), g, dtype=np.uint8))
+    feats = jpeg_pixel_features(blob)
+    assert len(feats) == 16
+    assert abs(feats[0] - g / 255.0) < 1 / 255.0  # mean (quant error)
+    assert feats[1] == 0.0                         # std: flat image
+    assert feats[2] == feats[3] == feats[0]        # min == max == mean
+    assert feats[4:] == [0.0] * 12                 # single channel
+
+
 def test_png_decode_rejects_exotic(spark):
     import struct
 

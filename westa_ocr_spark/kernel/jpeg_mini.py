@@ -1,0 +1,368 @@
+"""Minimal REAL baseline JPEG codec (grayscale), pure stdlib + numpy.
+
+Round 3 closes the last multimodal stub: the corpus JPEG writer now
+emits genuinely entropy-coded baseline JFIF (FDCT -> quantization ->
+zigzag -> DC-difference/AC-run-length Huffman with the ITU T.81
+Annex K standard tables), and the decoder reverses it (marker parse,
+Huffman decode, dequantize, IDCT, level shift). Scope: baseline
+sequential, single grayscale component, no subsampling, no restart
+markers — the writer's own dialect plus any conformant single-
+component baseline file. Anything else raises ``ValueError`` (per-row
+ERROR capture upstream).
+
+JPEG is lossy: tests assert exact roundtrips only where the math is
+exact (uniform blocks are DC-only) and bounded error elsewhere.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ITU T.81 Annex K luminance quantization table (quality ~50 base)
+_QTABLE = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+
+# Annex K DC luminance Huffman spec: bits[1..16], then values
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+# Annex K AC luminance Huffman spec
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# 8x8 type-II DCT basis: C[u,x] = a(u) cos((2x+1)u pi / 16)
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _C[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple]:
+    """symbol -> (code, length) per the JPEG canonical construction."""
+    out: dict[int, tuple] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_ENC = _huff_codes(_DC_BITS, _DC_VALS)
+_AC_ENC = _huff_codes(_AC_BITS, _AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc <<= (8 - self.n)
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, appended-bits value) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def _dht_segment(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+    payload = bytes([tc_th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def write_jpeg_gray(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 array as baseline grayscale JFIF."""
+    h, w = pixels.shape
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
+        raise ValueError("jpeg: bad dimensions")
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = pixels
+    padded[h:, :w] = pixels[h - 1 : h, :]  # edge replicate
+    padded[:, w:] = padded[:, w - 1 : w]
+    padded -= 128.0
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by : by + 8, bx : bx + 8]
+            coeffs = _C @ block @ _C.T
+            q = np.round(coeffs / _QTABLE).astype(np.int64)
+            zz = q.reshape(64)[_ZIGZAG]
+            cat, bits = _magnitude(int(zz[0]) - prev_dc)
+            prev_dc = int(zz[0])
+            c, ln = _DC_ENC[cat]
+            bw.put(c, ln)
+            if cat:
+                bw.put(bits, cat)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = _AC_ENC[0xF0]  # ZRL
+                    bw.put(c, ln)
+                    run -= 16
+                cat, bits = _magnitude(v)
+                c, ln = _AC_ENC[(run << 4) | cat]
+                bw.put(c, ln)
+                bw.put(bits, cat)
+                run = 0
+            if run:
+                c, ln = _AC_ENC[0x00]  # EOB
+                bw.put(c, ln)
+    entropy = bw.flush()
+
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = (b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+           + bytes(int(_QTABLE.reshape(64)[_ZIGZAG[i]]) for i in range(64)))
+    sof0 = (b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+            + b"\x01\x11\x00")
+    dht = (_dht_segment(0x00, _DC_BITS, _DC_VALS)
+           + _dht_segment(0x10, _AC_BITS, _AC_VALS))
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    return (b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + entropy
+            + b"\xff\xd9")
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg: entropy data underrun")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("jpeg: truncated stuffing")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                elif nxt == 0xD9:  # EOI reached mid-read
+                    raise ValueError("jpeg: entropy data underrun")
+                else:
+                    raise ValueError("jpeg: unexpected marker in scan")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) -> symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("jpeg: bad Huffman code")
+
+
+def _extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    if bits < (1 << (cat - 1)):
+        return bits - (1 << cat) + 1
+    return bits
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Decode a baseline single-component JPEG to (h, w) uint8."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    h = w = None
+    comp_q = comp_dc = comp_ac = 0
+    scan_at = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: lost marker sync")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            at = 0
+            while at < len(body):
+                pq_tq = body[at]
+                if pq_tq >> 4:
+                    raise ValueError("jpeg: 16-bit qtable unsupported")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(
+                    body[at + 1 : at + 65], dtype=np.uint8
+                )
+                qtables[pq_tq & 0x0F] = tbl.reshape(8, 8)
+                at += 65
+        elif marker == 0xC0:
+            _prec, hh, ww, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise ValueError("jpeg: only single-component baseline")
+            h, w = hh, ww
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: only baseline SOF0 supported")
+        elif marker == 0xC4:
+            at = 0
+            while at < len(body):
+                tc_th = body[at]
+                bits = list(body[at + 1 : at + 17])
+                nv = sum(bits)
+                vals = list(body[at + 17 : at + 17 + nv])
+                tbl = _huff_decode_table(bits, vals)
+                if tc_th >> 4:
+                    ac_tables[tc_th & 0x0F] = tbl
+                else:
+                    dc_tables[tc_th & 0x0F] = tbl
+                at += 17 + nv
+        elif marker == 0xDA:
+            comp_dc = body[2] >> 4
+            comp_ac = body[2] & 0x0F
+            scan_at = pos + 2 + seglen
+            break
+        elif marker == 0xDD:
+            raise ValueError("jpeg: restart intervals unsupported")
+        pos += 2 + seglen
+    if scan_at is None or h is None:
+        raise ValueError("jpeg: missing SOS/SOF")
+    qt = qtables.get(comp_q)
+    dct = dc_tables.get(comp_dc)
+    act = ac_tables.get(comp_ac)
+    if qt is None or dct is None or act is None:
+        raise ValueError("jpeg: missing tables")
+    end = data.rfind(b"\xff\xd9")
+    br = _BitReader(data[scan_at : end if end > scan_at else len(data)])
+    bh = (h + 7) // 8
+    bw_ = (w + 7) // 8
+    blocks = np.zeros((bh * bw_, 8, 8), dtype=np.float64)
+    prev_dc = 0
+    for bi in range(bh * bw_):
+        zz = np.zeros(64, dtype=np.int64)
+        cat = _read_symbol(br, dct)
+        diff = _extend(br.bits(cat), cat) if cat else 0
+        prev_dc += diff
+        zz[0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = _read_symbol(br, act)
+            if sym == 0x00:  # EOB
+                break
+            run, cat = sym >> 4, sym & 0x0F
+            if cat == 0:
+                if run != 15:
+                    raise ValueError("jpeg: bad AC symbol")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k >= 64:
+                raise ValueError("jpeg: AC coefficient overflow")
+            zz[k] = _extend(br.bits(cat), cat)
+            k += 1
+        q = np.zeros(64, dtype=np.float64)
+        q[_ZIGZAG] = zz
+        blocks[bi] = q.reshape(8, 8) * qt
+    # IDCT all blocks at once: C.T @ B @ C
+    spatial = np.einsum("ux,nuv,vy->nxy", _C, blocks, _C) + 128.0
+    img = np.zeros(((bh * 8), (bw_ * 8)), dtype=np.float64)
+    for bi in range(bh * bw_):
+        by, bx = divmod(bi, bw_)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial[bi]
+    return np.clip(np.round(img[:h, :w]), 0, 255).astype(np.uint8)
+
+
+__all__ = ["write_jpeg_gray", "decode_jpeg_gray"]

@@ -14,20 +14,20 @@ raster); and, round 3, full PIXEL decodes for PNG
 (:func:`decode_png_pixels`: zlib IDAT inflate, scanline unfiltering
 for all five filter types, gray/RGB/RGBA/gray+alpha/palette) and GIF
 (:func:`decode_gif_pixels`: LSB-first variable-width LZW with dict
-growth/reset and the KwKwK case, palette-mapped), whose per-channel
-statistics are the feature vectors. What's still STUBBED: JPEG only
-— baseline entropy decode needs Huffman+IDCT, out of stdlib reach —
-a clearly-marked sha256 fake (:func:`_fake_features`); swapping in
-the real model changes ONE function body, none of the Spark
-plumbing. ``sample_frames`` likewise fakes the codec with a
-byte-slice while keeping the 1-row->N-frames fan-out contract real.
+growth/reset and the KwKwK case, palette-mapped) and JPEG
+(:mod:`westa_ocr_spark.kernel.jpeg_mini`: a real baseline codec —
+Annex-K Huffman/quant tables, FDCT/IDCT — whose writer emits
+genuinely entropy-coded files), whose per-channel statistics are the
+feature vectors. No image stub remains; an embedding MODEL (vs these
+hand statistics) would swap in one function body. ``sample_frames``
+still fakes the video codec with a byte-slice while keeping the
+1-row->N-frames fan-out contract real.
 
 The skew story matches HTML: oversized media uses the same skew_split.
 """
 
 from __future__ import annotations
 
-import hashlib
 import struct
 import zlib
 from collections.abc import Iterator
@@ -64,9 +64,6 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("error", T.StringType(), True),
     ]
 )
-
-_FEATURE_DIM = 16
-
 
 # --------------------------------------------------------------------------
 # Real image-container header parsing (pure stdlib) + matching writers
@@ -160,22 +157,18 @@ def write_png(width: int, height: int) -> bytes:
 
 
 def write_jpeg(width: int, height: int) -> bytes:
-    """Structurally valid grayscale baseline JPEG: SOI, JFIF APP0,
-    SOF0 with the given dimensions, SOS, deterministic entropy bytes
-    (0xFF-free), EOI."""
-    app0 = (
-        b"\xff\xe0"
-        + struct.pack(">H", 16)
-        + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
-    )
-    sof0 = (
-        b"\xff\xc0"
-        + struct.pack(">HBHHB", 11, 8, height, width, 1)
-        + b"\x01\x11\x00"
-    )
-    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
-    entropy = bytes((width * 13 + height * 7 + i) % 255 for i in range(32))
-    return b"\xff\xd8" + app0 + sof0 + sos + entropy + b"\xff\xd9"
+    """REAL grayscale baseline JPEG (round 3): genuinely
+    entropy-coded via :mod:`westa_ocr_spark.kernel.jpeg_mini` (FDCT,
+    Annex-K quantization + Huffman tables), deterministic content
+    derived from the dimensions — the previous writer emitted fake
+    entropy bytes that no decoder could read."""
+    import numpy as np
+
+    from westa_ocr_spark.kernel.jpeg_mini import write_jpeg_gray
+
+    y, x = np.mgrid[0:height, 0:width]
+    pixels = ((x * 31 + y * 17) % 256).astype(np.uint8)
+    return write_jpeg_gray(pixels)
 
 
 def _gif_lzw_encode(indices: list[int], min_code: int) -> bytes:
@@ -346,21 +339,6 @@ def decode_gif_pixels(data: bytes):
     return pal[idx].reshape(h, w, 3)
 
 
-def _fake_features(data: bytes) -> list[float]:
-    """Deterministic stand-in for the pixel-decode + embedding model
-    (PIL is absent here): feature[16] from a sha256 of the bytes —
-    stable across runs/machines. Replace with a real model in
-    production. Round 3: PNG no longer uses this — its pixels decode
-    for real (:func:`decode_png_pixels`); the fake remains only for
-    the entropy-coded formats (JPEG/GIF) whose decoders are out of
-    stdlib reach."""
-    digest = hashlib.sha256(data).digest()
-    return [
-        int.from_bytes(digest[2 * i : 2 * i + 2], "big") / 65535.0
-        for i in range(_FEATURE_DIM)
-    ]
-
-
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -475,6 +453,15 @@ def gif_pixel_features(data: bytes) -> list[float]:
     return _channel_stat_features(decode_gif_pixels(data))
 
 
+def jpeg_pixel_features(data: bytes) -> list[float]:
+    """Real 16-dim JPEG feature vector from the baseline decoder
+    (kernel/jpeg_mini): grayscale plane as a 1-channel array."""
+    from westa_ocr_spark.kernel.jpeg_mini import decode_jpeg_gray
+
+    px = decode_jpeg_gray(data)
+    return _channel_stat_features(px.reshape(*px.shape, 1))
+
+
 def _channel_stat_features(px) -> list[float]:
     """16-dim feature vector from an (h, w, c) uint8 array: for each
     of up to 4 channels, (mean, std, min, max) normalized to [0, 1];
@@ -532,8 +519,8 @@ def extract_image_features(media: DataFrame, url_col: str = "url",
                         feature = png_pixel_features(blob)
                     elif kind == "gif":
                         feature = gif_pixel_features(blob)
-                    else:  # jpeg: entropy decode out of stdlib reach
-                        feature = _fake_features(blob)
+                    else:
+                        feature = jpeg_pixel_features(blob)
                     row.update(
                         kind=kind, width=w, height=h, feature=feature,
                     )
