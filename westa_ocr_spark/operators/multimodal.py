@@ -546,13 +546,50 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 )
 
 
+def write_mjpeg(width: int, height: int, n_frames: int) -> bytes:
+    """Minimal REAL motion-JPEG 'video': concatenated baseline JPEG
+    frames (each independently decodable), deterministic per-frame
+    content — frame f shifts the base pattern by 11*f levels."""
+    import numpy as np
+
+    from westa_ocr_spark.kernel.jpeg_mini import write_jpeg_gray
+
+    y, x = np.mgrid[0:height, 0:width]
+    base = (x * 31 + y * 17) % 256
+    return b"".join(
+        write_jpeg_gray(((base + 11 * f) % 256).astype(np.uint8))
+        for f in range(n_frames)
+    )
+
+
+def split_mjpeg_frames(blob: bytes) -> list[bytes]:
+    """Frame boundaries of concatenated JPEGs. Safe on entropy data:
+    byte stuffing guarantees 0xFFD9 appears only as the EOI marker."""
+    frames: list[bytes] = []
+    at = 0
+    while True:
+        s = blob.find(b"\xff\xd8\xff", at)
+        if s < 0:
+            break
+        e = blob.find(b"\xff\xd9", s)
+        if e < 0:
+            break
+        frames.append(blob[s : e + 2])
+        at = e + 2
+    return frames
+
+
 def sample_frames(media: DataFrame, every_n: int = 10,
                   max_frames: int = 4, url_col: str = "url",
                   data_col: str = "data") -> DataFrame:
     """Video frame sampling: 1 binary row -> N frame rows (1-based),
-    same fan-out contract as PDF page split. Decode is stubbed with a
-    deterministic byte-slice fake; the Spark shape (explode inside the
-    Arrow batch, 1-based indices) is real.
+    same fan-out contract as PDF page split.
+
+    Motion-JPEG payloads (concatenated baseline JPEGs — the one video
+    container expressible without ffmpeg) sample REAL frames: every
+    ``every_n``-th JPEG, each an independently decodable image.
+    Unknown codecs keep the documented deterministic byte-slice
+    fallback so the fan-out plumbing stays exercised for them too.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -566,6 +603,18 @@ def sample_frames(media: DataFrame, every_n: int = 10,
                     )
                     continue
                 blob = bytes(data)
+                frames = (
+                    split_mjpeg_frames(blob)
+                    if blob[:3] == b"\xff\xd8\xff" else []
+                )
+                if len(frames) > 1:  # real MJPEG: sample real JPEGs
+                    picked = frames[::every_n][:max_frames] or frames[:1]
+                    for idx, fr in enumerate(picked, start=1):
+                        out.append(
+                            {"url": url, "frame_index": idx,
+                             "frame": fr, "status": "DONE"}
+                        )
+                    continue
                 n = min(max_frames, max(1, len(blob) // every_n))
                 step = max(1, len(blob) // n)
                 for idx in range(1, n + 1):

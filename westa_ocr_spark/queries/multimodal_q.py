@@ -59,10 +59,43 @@ def _q_media_features(spark, sf):
     return extract_image_features(_media_df(spark, sf))
 
 
+def _video_df(spark, sf):
+    """Synthetic video table: REAL motion-JPEG payloads (concatenated
+    decodable baseline JPEG frames, round 3) on the even leg, an
+    unknown-codec binary on the odd leg to keep the byte-slice
+    fallback path exercised."""
+    from westa_ocr_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 2 == 0:
+                    blob = mm.write_mjpeg(
+                        8 + i % 16, 8 + (i * 3) % 16, 6 + i % 20
+                    )
+                else:
+                    blob = (b"RIFF....AVI fake codec " + bytes(
+                        (i * 13 + k) % 256 for k in range(200)
+                    ))
+                urls.append(f"vid://{i}")
+                blobs.append(blob)
+            yield pd.DataFrame({"url": urls, "data": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="url string, data binary"
+    )
+
+
 def _q_frame_sampling(spark, sf):
     from westa_ocr_spark.operators.multimodal import sample_frames
 
-    out = sample_frames(_media_df(spark, sf))
+    out = sample_frames(_video_df(spark, sf), every_n=5)
     return out.select(
         "url", "frame_index", "status",
         F.octet_length("frame").alias("frame_bytes"),
