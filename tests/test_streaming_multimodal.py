@@ -372,6 +372,54 @@ def test_mjpeg_frame_sampling_yields_decodable_frames(spark):
     assert sum(1 for r in rows if r["url"] == "v2") >= 1
 
 
+def test_audio_features_real_pcm_and_mp3_headers(spark):
+    """WAV features are computed from REAL decoded PCM (hand-computed
+    rms/peak/zcr on a known square wave); MP3 rows carry true frame-
+    header metadata; garbage is a per-row ERROR."""
+    import math
+    import struct
+
+    from westa_ocr_spark.operators.multimodal import (
+        extract_audio_features,
+        write_mp3_header,
+        write_wav,
+    )
+
+    # hand-built square wave: +8192/-8192 alternating, 100 samples
+    samples = b"".join(
+        struct.pack("<h", 8192 if k % 2 == 0 else -8192)
+        for k in range(100)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+              + b"data" + struct.pack("<I", len(samples)) + samples)
+    square = b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+    df = spark.createDataFrame(
+        [
+            ("sq", bytearray(square)),
+            ("saw", bytearray(write_wav(400, period=50))),
+            ("m", bytearray(write_mp3_header(bitrate_kbps=128))),
+            ("bad", bytearray(b"OggS nope")),
+        ],
+        ["url", "data"],
+    )
+    out = {r["url"]: r.asDict() for r in
+           extract_audio_features(df).collect()}
+    sq = out["sq"]
+    assert sq["kind"] == "wav" and sq["sample_rate"] == 8000
+    assert abs(sq["rms"] - 8192 / 32768) < 1e-6       # constant |s|
+    assert abs(sq["peak"] - 8192 / 32768) < 1e-6
+    assert abs(sq["zcr"] - 1.0) < 1e-6                # flips every step
+    assert abs(sq["duration_s"] - 100 / 8000) < 1e-9
+    assert out["saw"]["status"] == "DONE" and out["saw"]["rms"] > 0
+    m = out["m"]
+    assert m["kind"] == "mp3" and m["sample_rate"] == 44100
+    assert m["rms"] is None  # entropy decode out of scope, like JPEG was
+    assert out["bad"]["status"] == "ERROR"
+    assert math.isfinite(out["saw"]["zcr"])
+
+
 def test_png_decode_rejects_exotic(spark):
     import struct
 

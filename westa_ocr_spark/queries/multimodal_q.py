@@ -105,8 +105,46 @@ def _q_frame_sampling(spark, sf):
 
 
 
+def _q_audio_features(spark, sf):
+    """Audio features over a synthetic audio table: WAV leg decodes
+    REAL PCM (rms/peak/zero-crossing rate), MP3 leg yields frame-
+    header metadata, garbage leg exercises the ERROR path."""
+    from westa_ocr_spark.operators import multimodal as mm
+    from westa_ocr_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 3 == 0:
+                    blob = mm.write_wav(
+                        800 + (i * 31) % 1600, period=20 + i % 80
+                    )
+                elif i % 3 == 1:
+                    blob = mm.write_mp3_header(n_frames=2 + i % 4)
+                else:
+                    blob = b"OggS fake vorbis " + str(i).encode()
+                urls.append(f"audio://{i}")
+                blobs.append(blob)
+            yield pd.DataFrame({"url": urls, "data": blobs})
+
+    audio = docs.select("doc_id").mapInPandas(
+        gen, schema="url string, data binary"
+    )
+    return extract_audio_features(audio)
+
+
+
 # name -> (Spark DataFrame fn, DuckDB oracle SQL or None).
 DEFS = {
     "media_features": (_q_media_features, None),
     "frame_sampling": (_q_frame_sampling, None),
+    "audio_features": (_q_audio_features, None),
 }

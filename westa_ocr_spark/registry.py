@@ -102,6 +102,7 @@ MANIFEST: list[str] = [
     "sequence_packing",
     "stream_first_seen",
     "split_pages_udtf",
+    "audio_features",
     # -- scale-critical veterans (driver-green in r1/r2) --------------
     "exact_dedup",
     "minhash_signatures",
