@@ -138,6 +138,17 @@ def main() -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # --- registry headline queries over the sf tables ----------------
+    # warm codegen first: the wide text expressions (96 language
+    # counters etc.) cost a one-time ~5-7s janino compile per plan
+    # shape; running every headline query once at the tiny sf tier
+    # compiles identical shapes cheaply so the timed runs measure
+    # execution, not compilation
+    warm_sf = sf_dir.replace("0.1", "0.001") if "0.1" in sf_dir else sf_dir
+    if os.path.isdir(warm_sf):
+        for name in HEADLINE:
+            fn, _ = QUERIES[name]
+            fn(spark, warm_sf).count()
+
     # best-of-2 per query: single-shot timings swing ±40% with this
     # host's background noise; the second run also reflects warm
     # code paths, which is what a resident service would see
