@@ -490,10 +490,12 @@ def extract_image_features(media: DataFrame, url_col: str = "url",
     """Arrow-batched image metadata + feature extraction over binary rows.
 
     Width/height come from real header parsing
-    (:func:`parse_image_dimensions`); the embedding is the documented
-    sha256 stub. Per-row error capture mirrors the extraction
-    pipeline: unknown or corrupt payloads become ``status='ERROR'``
-    rows, never task failures.
+    (:func:`parse_image_dimensions`); the feature vector is real
+    decoded-pixel statistics for all three formats (PNG scanline
+    filters, GIF LZW, baseline JPEG Huffman/IDCT — round 3; no stub
+    remains). Per-row error capture mirrors the extraction pipeline:
+    unknown or corrupt payloads become ``status='ERROR'`` rows, never
+    task failures.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -52,11 +52,30 @@ def _media_df(spark, sf):
 
 
 def _q_media_features(spark, sf):
+    """Image feature extraction with the vector projected to a
+    hashable string column: the driver's pandas canonicalizer
+    sort/hashes every column and cannot handle raw ``array<double>``
+    cells (CORRECTNESS_r03 TypeError). Programmatic callers use
+    :func:`extract_image_features` directly for the array form; this
+    registry view rounds each element to 6 places and joins with
+    ``|`` so the row is exactly comparable and hashable."""
     from westa_ocr_spark.operators.multimodal import (
         extract_image_features,
     )
 
-    return extract_image_features(_media_df(spark, sf))
+    feats = extract_image_features(_media_df(spark, sf))
+    sig = F.array_join(
+        F.transform(
+            "feature",
+            lambda x: F.format_string("%.6f", round_det(x, 6)),
+        ),
+        "|",
+    )
+    return feats.select(
+        "url", "kind", "n_bytes", "width", "height",
+        F.when(F.col("feature").isNotNull(), sig).alias("feature_sig"),
+        "status", "error",
+    )
 
 
 def _video_df(spark, sf):

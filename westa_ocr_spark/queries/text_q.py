@@ -339,7 +339,7 @@ WITH src AS (
   FROM src
 )
 SELECT domain, count(*) AS n_pages, max(depth) AS max_depth,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM d WHERE domain NOT IN ('site13.example', 'site7.example')
 GROUP BY domain
 """
@@ -385,7 +385,7 @@ def _q_sequence_packing(spark, sf):
 
 _SQL_SEQUENCE_PACKING = (
     "SELECT lang, pack_id, count(*) AS n_docs, "
-    "sum(tok) AS pack_tokens FROM ("
+    "CAST(sum(tok) AS BIGINT) AS pack_tokens FROM ("
     "SELECT lang, cast(floor((cum - tok) / 2048) AS bigint) AS pack_id,"
     " tok FROM ("
     "SELECT lang, tok, sum(tok) OVER ("
