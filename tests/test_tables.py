@@ -232,3 +232,121 @@ def test_iceberg_merge_contract():
         "WHEN NOT MATCHED THEN INSERT *"
     )
     assert re.sub(r"\s+", " ", sess.sqls[0]) == expected
+
+
+def test_partitioned_merge_swap_phase_crash_promotes_tmp(spark, tmp_path):
+    """3->4 window (round-4 fix): path already renamed to __old, tmp
+    complete but still marker-bearing. Recovery must promote the tmp
+    — it holds the full new generation — not treat it as a half-done
+    move phase."""
+    import os
+
+    tbl = ParquetTable(str(tmp_path / "pt"), partition_by="b")
+    base = spark.createDataFrame(
+        [(k, 1, f"v{k}", k % 4) for k in range(8)], ["k", "p", "v", "b"]
+    )
+    tbl.merge_upsert(spark, base, keys=["k", "p"])
+    # build a complete new generation in __tmp: merged b=0 plus every
+    # unaffected bucket dir moved over, marker still present
+    tmp = f"{tbl.path}__tmp_cafef00d"
+    spark.createDataFrame(
+        [(0, 1, "NEWGEN", 0), (4, 1, "v4", 0)], ["k", "p", "v", "b"]
+    ).write.partitionBy("b").mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_MERGE_MOVES"), "w") as fh:
+        fh.write("b=0")
+    for b in (1, 2, 3):
+        os.rename(os.path.join(tbl.path, f"b={b}"),
+                  os.path.join(tmp, f"b={b}"))
+    # phase 3 done: live path renamed away
+    os.rename(tbl.path, f"{tbl.path}__old_dead0001")
+
+    assert tbl.exists()  # recovery promotes the tmp
+    got = _rows(spark, tbl)
+    expect = {(k, 1): f"v{k}" for k in range(8)}
+    expect[(0, 1)] = "NEWGEN"
+    assert got == expect
+    parent = os.path.dirname(tbl.path)
+    leftovers = [n for n in os.listdir(parent)
+                 if "__tmp_" in n or "__old_" in n]
+    assert leftovers == []
+    assert not os.path.exists(os.path.join(tbl.path, "_MERGE_MOVES"))
+
+
+def test_partitioned_merge_cleanup_phase_crash_drops_marker(
+        spark, tmp_path):
+    """Phase-5 window: swap completed, marker still in the live path,
+    __old not yet deleted. Recovery keeps the live table, drops the
+    marker, sweeps the old generation."""
+    import os
+    import shutil
+
+    tbl = ParquetTable(str(tmp_path / "pt"), partition_by="b")
+    base = spark.createDataFrame(
+        [(k, 1, f"v{k}", k % 4) for k in range(8)], ["k", "p", "v", "b"]
+    )
+    tbl.merge_upsert(spark, base, keys=["k", "p"])
+    with open(os.path.join(tbl.path, "_MERGE_MOVES"), "w") as fh:
+        fh.write("b=0")
+    old = f"{tbl.path}__old_dead0002"
+    shutil.copytree(tbl.path, old)
+
+    assert tbl.exists()
+    assert _rows(spark, tbl) == {(k, 1): f"v{k}" for k in range(8)}
+    parent = os.path.dirname(tbl.path)
+    assert [n for n in os.listdir(parent) if "__old_" in n] == []
+    assert not os.path.exists(os.path.join(tbl.path, "_MERGE_MOVES"))
+
+
+def test_file_scoped_merge_prunes_nonoverlapping_files(spark, tmp_path):
+    """O(delta) scoping: files in an affected bucket whose footer key
+    range cannot intersect the batch are hard-linked (same inode) into
+    the new generation, and the stats report the measured rewrite
+    amplification."""
+    import os
+
+    tbl = ParquetTable(str(tmp_path / "pt"), partition_by="b")
+    # two disjoint key-range files in bucket 0: k in [0,9], k in [1000,1009]
+    lo = spark.createDataFrame(
+        [(k, 1, f"lo{k}", 0) for k in range(10)], ["k", "p", "v", "b"]
+    ).coalesce(1)
+    tbl.merge_upsert(spark, lo, keys=["k", "p"])
+    hi = spark.createDataFrame(
+        [(k, 1, f"hi{k}", 0) for k in range(1000, 1010)],
+        ["k", "p", "v", "b"],
+    ).coalesce(1)
+    tbl.merge_upsert(spark, hi, keys=["k", "p"])
+
+    bucket = os.path.join(tbl.path, "b=0")
+    files_before = {
+        n: os.stat(os.path.join(bucket, n)).st_ino
+        for n in os.listdir(bucket) if n.endswith(".parquet")
+    }
+    # identify the low-range file (the one the next merge must NOT touch)
+    from westa_ocr_spark.sources.tables import _parquet_key_range
+    lo_files = {
+        n for n in files_before
+        if _parquet_key_range(os.path.join(bucket, n), "k")[1] < 1000
+    }
+    assert lo_files  # sanity: footer stats usable
+
+    batch = spark.createDataFrame(
+        [(1005, 1, "NEW", 0)], ["k", "p", "v", "b"]
+    )
+    stats = tbl.merge_upsert(spark, batch, keys=["k", "p"])
+    assert stats["files_pruned"] >= 1
+    assert stats["files_rewritten"] >= 1
+    assert stats["rewrite_amplification"] >= 0.0
+    assert stats == tbl.last_merge_stats
+
+    files_after = {
+        n: os.stat(os.path.join(bucket, n)).st_ino
+        for n in os.listdir(bucket) if n.endswith(".parquet")
+    }
+    # the non-overlapping file survived as the SAME inode (linked, not
+    # rewritten)
+    for n in lo_files:
+        assert files_after[n] == files_before[n]
+    got = _rows(spark, tbl)
+    assert got[(1005, 1)] == "NEW"
+    assert got[(0, 1)] == "lo0" and got[(1000, 1)] == "hi1000"
+    assert len(got) == 20

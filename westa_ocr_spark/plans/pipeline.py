@@ -56,6 +56,29 @@ from westa_ocr_spark.sources.tables import ParquetTable
 # file-count cost) to keep each bucket executor-memory sized.
 SINK_BUCKETS = 16
 
+# Compaction cadence: each incremental run adds up to one file per
+# (extract task x touched bucket), so files-per-bucket grows linearly
+# with run count. When the fullest bucket exceeds this bound, the
+# pipeline tail runs ParquetTable.compact (one shuffle, one file per
+# bucket) — the amortized cost is one rewrite every ~bound/tasks runs,
+# the same policy as Iceberg's rewrite_data_files maintenance action.
+COMPACT_FILES_PER_BUCKET = 64
+
+
+def _max_files_per_bucket(path: str) -> int:
+    """Fullest partition directory's parquet-file count (0 if none)."""
+    import os
+
+    worst = 0
+    if not os.path.isdir(path):
+        return 0
+    for name in os.listdir(path):
+        d = os.path.join(path, name)
+        if "=" in name and os.path.isdir(d):
+            n = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            worst = max(worst, n)
+    return worst
+
 
 @dataclass
 class ExtractionResult:
@@ -67,6 +90,10 @@ class ExtractionResult:
     out_dir: str
     resumed_skipped: int = 0
     stages: dict = field(default_factory=dict)
+    # measured rewrite amplification of this run's incremental merge
+    # (None on fresh runs / resume-skips) — the O(delta) evidence
+    merge_stats: dict | None = None
+    compacted: bool = False  # True when the tail ran sink compaction
 
 
 def cancel_extraction(spark: SparkSession, job_group: str) -> None:
@@ -110,6 +137,7 @@ def run_extraction_job(
     oversized_threshold: int = OVERSIZED_THRESHOLD,
     job_group: str | None = None,
     sink_buckets: int = SINK_BUCKETS,
+    compact_files_per_bucket: int = COMPACT_FILES_PER_BUCKET,
 ) -> ExtractionResult:
     """Run the full extraction lifecycle; returns counters.
 
@@ -119,6 +147,8 @@ def run_extraction_job(
     is set so running tasks stop, not just queued ones).
     """
     stages: dict[str, float] = {}
+    merge_stats: dict | None = None
+    compacted = False
     _t0 = time.time()
 
     if job_group is not None:
@@ -362,8 +392,9 @@ def run_extraction_job(
                 shutil.rmtree(manifest_tbl.path, ignore_errors=True)
                 shutil.move(opt_manifest_path, manifest_tbl.path)
         else:
-            extracted_tbl.merge_upsert(spark, staged,
-                                       keys=["url", "page_index"])
+            merge_stats = extracted_tbl.merge_upsert(
+                spark, staged, keys=["url", "page_index"]
+            )
             # manifest is maintained INCREMENTALLY: summarize only this
             # run's urls and upsert by url — re-summarizing the whole
             # committed table every run would be an O(table) pass that
@@ -378,6 +409,14 @@ def run_extraction_job(
             manifest_tbl.merge_upsert(spark, run_manifest, keys=["url"])
             _join_lineage()  # lineage scans staging_path — drain first
             shutil.rmtree(staging_path, ignore_errors=True)
+            # small-file maintenance: each run fans tasks x buckets
+            # files into the sink; when the fullest bucket crosses the
+            # bound, repack to one file per bucket so read-side task
+            # counts stay O(buckets), not O(buckets x runs)
+            if (_max_files_per_bucket(extracted_tbl.path)
+                    > compact_files_per_bucket):
+                extracted_tbl.compact(spark)
+                compacted = True
         _mark("sink_and_manifest")
 
         if first_run and not has_dup_keys:
@@ -430,6 +469,8 @@ def run_extraction_job(
         out_dir=out_dir,
         resumed_skipped=resumed_skipped,
         stages=stages,
+        merge_stats=merge_stats,
+        compacted=compacted,
     )
 
 

@@ -34,6 +34,38 @@ def _dir_nonempty(path: str) -> bool:
     )
 
 
+def _parquet_key_range(path: str, col: str):
+    """(min, max) of ``col`` from the parquet footer, or None when any
+    row group lacks usable statistics (then the caller must treat the
+    file as possibly-overlapping). Parquet writers truncate long
+    binary stats but keep them valid bounds (min is cut, max is cut
+    and incremented), so range pruning on them stays conservative."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = None
+        for i in range(md.num_columns):
+            if md.schema.column(i).name == col:
+                idx = i
+                break
+        if idx is None:
+            return None
+        lo = hi = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        return None if lo is None else (lo, hi)
+    except Exception:
+        return None
+
+
 class ParquetTable:
     """Directory-of-parquet keyed table with upsert semantics.
 
@@ -52,6 +84,8 @@ class ParquetTable:
     def __init__(self, path: str, partition_by: str | None = None) -> None:
         self.path = path
         self.partition_by = partition_by
+        #: rewrite-amplification stats of the last partitioned merge
+        self.last_merge_stats: dict | None = None
 
     def _recover(self) -> None:
         """Heal the crash windows of ``merge_upsert``.
@@ -59,36 +93,72 @@ class ParquetTable:
         Phase order on a partitioned merge: (1) write affected buckets
         to ``__tmp`` + write a ``_MERGE_MOVES`` marker naming them,
         (2) rename unaffected bucket dirs ``path -> __tmp``,
-        (3) remove the marker, (4) rename ``path -> __old`` then
-        ``__tmp -> path``. Recovery: a marker-bearing ``__tmp`` means
-        phase 2 may be half-done — move the non-affected dirs BACK
-        (they are the committed table's data; the affected dirs are
-        the uncommitted merge) and discard the tmp. After that the
-        classic swap-window logic applies: ``path`` absent with a
-        complete (marker-free) ``__tmp`` promotes it, else the newest
-        ``__old`` is restored; leftovers are swept.
+        (3) rename ``path -> __old``, (4) rename ``__tmp -> path``
+        (the marker travels with it), (5) remove the marker from the
+        live path, (6) delete ``__old``. The marker survives through
+        BOTH swap renames (round-3 bug: deleting it before the swap
+        left a crash window where the live path held only the stale
+        affected buckets yet recovery served it as complete).
+
+        Recovery discrimination:
+
+        * marker in the LIVE path -> phase-5 crash: the swap finished
+          and the table is complete; drop the marker, sweep leftovers.
+        * marker-bearing ``__tmp`` while ``path`` EXISTS -> phase-2
+          window: the committed generation is (path + the unaffected
+          dirs already moved into tmp); move those dirs back and
+          discard the uncommitted merge.
+        * marker-bearing ``__tmp`` while ``path`` is ABSENT -> the
+          3->4 window: phase 2 must have completed (phase 3 only runs
+          after), so tmp IS the complete new generation; promote it
+          and drop the marker.
+
+        After that the classic swap-window logic applies: ``path``
+        absent with a complete marker-free ``__tmp`` promotes it, else
+        the newest ``__old`` is restored; leftovers are swept.
         """
         parent = os.path.dirname(self.path) or "."
         base = os.path.basename(self.path)
         if not os.path.isdir(parent):
             return
-        # phase-2 undo: interrupted partition-move merges
+
+        def _sweep() -> None:
+            for name in list(os.listdir(parent)):
+                if (name.startswith(f"{base}__tmp_")
+                        or name.startswith(f"{base}__old_")):
+                    shutil.rmtree(os.path.join(parent, name),
+                                  ignore_errors=True)
+
+        live_marker = os.path.join(self.path, self._MOVE_MARKER)
+        if os.path.isfile(live_marker):
+            # phase-5 crash: swap done, only cleanup remained
+            os.remove(live_marker)
+            _sweep()
+            return
         for name in list(os.listdir(parent)):
             full = os.path.join(parent, name)
             marker = os.path.join(full, self._MOVE_MARKER)
             if not (name.startswith(f"{base}__tmp_")
                     and os.path.isfile(marker)):
                 continue
-            with open(marker, encoding="utf-8") as fh:
-                affected = set(fh.read().split())
-            os.makedirs(self.path, exist_ok=True)
-            for entry in os.listdir(full):
-                src = os.path.join(full, entry)
-                if (os.path.isdir(src) and entry not in affected
-                        and not os.path.exists(
-                            os.path.join(self.path, entry))):
-                    os.rename(src, os.path.join(self.path, entry))
-            shutil.rmtree(full, ignore_errors=True)
+            if os.path.exists(self.path):
+                # phase-2 window: undo — move committed unaffected
+                # dirs back, discard the uncommitted merge
+                with open(marker, encoding="utf-8") as fh:
+                    affected = set(fh.read().split())
+                for entry in os.listdir(full):
+                    src = os.path.join(full, entry)
+                    if (os.path.isdir(src) and entry not in affected
+                            and not os.path.exists(
+                                os.path.join(self.path, entry))):
+                        os.rename(src, os.path.join(self.path, entry))
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                # 3->4 window: tmp holds the complete new generation
+                os.rename(full, self.path)
+                os.remove(os.path.join(self.path, self._MOVE_MARKER))
+                _sweep()
+                return
         if _dir_nonempty(self.path):
             return
         tmps, olds = [], []
@@ -128,22 +198,22 @@ class ParquetTable:
 
     def merge_upsert(
         self, spark: SparkSession, df: DataFrame, keys: list[str]
-    ) -> None:
+    ) -> dict | None:
         """Upsert df by keys: new rows win over existing rows.
 
         Mirrors the reference's ON CONFLICT DO UPDATE
         (``/root/reference/app/repository.py:256-262``). The incoming
         batch is key-deduplicated first (J5 idempotency — duplicate
         requests collapse to one row, ``/root/reference/app/main.py:
-        165-188``).
+        165-188``). On the partitioned path, returns the measured
+        rewrite-amplification stats.
         """
         df = df.dropDuplicates(keys)
         if not self.exists():
             self.overwrite(df)
-            return
+            return None
         if self.partition_by and self.partition_by in df.columns:
-            self._merge_partitioned(spark, df, keys)
-            return
+            return self._merge_partitioned(spark, df, keys)
         existing = self.read(spark)
         kept = existing.join(df.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(df.select(*existing.columns))
@@ -179,25 +249,101 @@ class ParquetTable:
 
     def _merge_partitioned(
         self, spark: SparkSession, df: DataFrame, keys: list[str]
-    ) -> None:
-        """Bucket-scoped merge: rewrite only the partitions the batch
-        touches; every other bucket directory is renamed (not copied)
-        into the new table generation. IO is O(affected buckets), the
-        parquet stand-in for Iceberg's file-level MERGE INTO."""
+    ) -> dict:
+        """File-scoped merge: IO approaches O(delta), the parquet
+        stand-in for Iceberg's file-level MERGE INTO.
+
+        Two pruning levels, mirroring Iceberg's partition- then
+        file-level planning:
+
+        * unaffected bucket DIRECTORIES are renamed (not copied) into
+          the new table generation — O(1) metadata per bucket;
+        * within an affected bucket, a parquet FILE whose footer
+          ``keys[0]`` min/max range cannot intersect the batch's key
+          range for that bucket is hard-linked into the new generation
+          untouched (links leave the committed copy in place, so the
+          crash journal needs no new phase) — only genuinely
+          key-overlapping files are read, anti-joined and rewritten.
+
+        Returns rewrite-amplification stats (also kept on
+        ``self.last_merge_stats``) so callers can record the measured
+        cost of each incremental run: ``bytes_rewritten /
+        bytes_incoming`` is the number Iceberg would drive to ~1.
+        """
         from pyspark.sql import functions as F
 
         pcol = self.partition_by
-        affected_vals = sorted(
-            r[0] for r in df.select(pcol).distinct().collect()
-        )
+        kcol = keys[0]
+        ranges = {
+            r[0]: (r[1], r[2])
+            for r in df.groupBy(pcol)
+            .agg(F.min(kcol).alias("lo"), F.max(kcol).alias("hi"))
+            .collect()
+        }
+        affected_vals = sorted(ranges)
         affected_dirs = {f"{pcol}={v}" for v in affected_vals}
-        existing = self.read(spark).filter(F.col(pcol).isin(affected_vals))
-        kept = existing.join(df.select(*keys).distinct(), keys, "left_anti")
-        merged = kept.unionByName(
-            df.select(*existing.columns)
-        )
+        rewrite_files: list[str] = []
+        kept_files: list[tuple[str, str]] = []  # (bucket dir, filename)
+        bytes_rewritten = bytes_kept = 0
+        for v in affected_vals:
+            dirname = f"{pcol}={v}"
+            d = os.path.join(self.path, dirname)
+            if not os.path.isdir(d):
+                continue
+            lo, hi = ranges[v]
+            for fname in os.listdir(d):
+                if not fname.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(d, fname)
+                fr = _parquet_key_range(fpath, kcol)
+                if fr is not None and (fr[1] < lo or fr[0] > hi):
+                    kept_files.append((dirname, fname))
+                    bytes_kept += os.path.getsize(fpath)
+                else:
+                    rewrite_files.append(fpath)
+                    bytes_rewritten += os.path.getsize(fpath)
+        cols = self.read(spark).columns
+        if rewrite_files:
+            existing = (
+                spark.read.option("basePath", self.path)
+                .parquet(*rewrite_files)
+            )
+            kept = existing.join(
+                df.select(*keys).distinct(), keys, "left_anti"
+            )
+            merged = kept.unionByName(df.select(*cols))
+        else:
+            merged = df.select(*cols)
         tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
         merged.write.partitionBy(pcol).mode("overwrite").parquet(tmp)
+        bytes_out = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, fs in os.walk(tmp)
+            for f in fs if f.endswith(".parquet")
+        )
+        # hard-link pruned files into the new generation: the committed
+        # copies stay in place until the atomic swap, so a crash here
+        # is recovered by the unchanged phase-2 journal
+        for dirname, fname in kept_files:
+            dst_dir = os.path.join(tmp, dirname)
+            os.makedirs(dst_dir, exist_ok=True)
+            src = os.path.join(self.path, dirname, fname)
+            dst = os.path.join(dst_dir, fname)
+            try:
+                os.link(src, dst)
+            except OSError:  # pragma: no cover - cross-device fallback
+                shutil.copy2(src, dst)
+        self.last_merge_stats = {
+            "files_rewritten": len(rewrite_files),
+            "files_pruned": len(kept_files),
+            "bytes_rewritten": bytes_rewritten,
+            "bytes_pruned": bytes_kept,
+            "bytes_out": bytes_out,
+            "rewrite_amplification": (
+                round(bytes_rewritten / bytes_out, 3)
+                if bytes_out else 0.0
+            ),
+        }
         # journal the move phase so _recover can undo a half-done one
         with open(os.path.join(tmp, self._MOVE_MARKER), "w",
                   encoding="utf-8") as fh:
@@ -206,11 +352,15 @@ class ParquetTable:
             src = os.path.join(self.path, entry)
             if os.path.isdir(src) and entry not in affected_dirs:
                 os.rename(src, os.path.join(tmp, entry))
-        os.remove(os.path.join(tmp, self._MOVE_MARKER))
+        # marker survives both swap renames; deleting it earlier opened
+        # a window where the live path held only stale affected buckets
+        # yet recovery's nonempty check served it as complete
         old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
         os.rename(self.path, old)
         os.rename(tmp, self.path)
+        os.remove(os.path.join(self.path, self._MOVE_MARKER))
         shutil.rmtree(old, ignore_errors=True)
+        return self.last_merge_stats
 
 
 class IcebergTable:
