@@ -210,6 +210,12 @@ def test_normalize_url_rules(spark):
         # consecutive tracking params all stripped in one pass
         "https://x.y/p?utm_a=1&utm_b=2&q=3": "https://x.y/p?q=3",
         "https://x.y/p?q=1&utm_a=2&utm_b=3": "https://x.y/p?q=1",
+        # round-4 ADVICE fix: a query-less URL with a literal '&' in
+        # the path must NOT be rewritten to '?'
+        "http://h/a&b": "http://h/a&b",
+        "http://h/a&b/c?q=1": "http://h/a&b/c?q=1",
+        # ?-param followed only by tracking params vanishes entirely
+        "https://x.y/p?utm_a=1&utm_b=2": "https://x.y/p",
     }
     df = spark.createDataFrame([(k,) for k in cases], ["url"])
     got = {r["url"]: r["n"] for r in

@@ -138,3 +138,97 @@ def test_warc_datasource_filter_pushdown_prunes_files(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 1
     rows = df.collect()
     assert [r["url"] for r in rows] == ["https://c.example/z"]
+
+
+def test_warc_datasource_empty_glob_returns_empty_df(spark, tmp_path):
+    """Zero-match glob is an empty DataFrame (ADVICE r3), consistent
+    with the post-pushFilters path; failOnEmpty=true restores the
+    planning-time error."""
+    from westa_ocr_spark.sources.warc_datasource import register
+
+    wdir = tmp_path / "empty"
+    wdir.mkdir()
+    register(spark)
+    df = spark.read.format("warc").load(str(wdir))
+    assert df.count() == 0
+    strict = (
+        spark.read.format("warc").option("failOnEmpty", "true")
+        .load(str(wdir))
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no files match"):
+        strict.count()
+
+
+def test_warc_datasource_inlist_and_range_pushdown(spark, tmp_path):
+    """IN-lists and prefix/range predicates on warc_file prune files
+    at planning time (VERDICT r3 #6): fewer partitions, correct
+    rows."""
+    from pyspark.sql import functions as F
+
+    from westa_ocr_spark.sources.warc_datasource import register
+
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    for i in range(4):
+        (wdir / f"seg-{i}.warc.gz").write_bytes(
+            write_warc(
+                [{"url": f"https://s{i}.example/p",
+                  "date": "2025-02-03T08:00:00Z",
+                  "html": b"<html><body><p>doc</p></body></html>"}]
+            )
+        )
+    register(spark)
+    base = spark.read.format("warc").load(str(wdir))
+    assert base.rdd.getNumPartitions() == 4
+
+    two = base.filter(
+        F.col("warc_file").isin(
+            str(wdir / "seg-0.warc.gz"), str(wdir / "seg-3.warc.gz")
+        )
+    )
+    assert two.rdd.getNumPartitions() == 2
+    assert sorted(r["url"] for r in two.collect()) == [
+        "https://s0.example/p", "https://s3.example/p",
+    ]
+
+    ranged = base.filter(
+        (F.col("warc_file") >= str(wdir / "seg-1"))
+        & (F.col("warc_file") < str(wdir / "seg-3"))
+    )
+    assert ranged.rdd.getNumPartitions() == 2
+    assert sorted(r["url"] for r in ranged.collect()) == [
+        "https://s1.example/p", "https://s2.example/p",
+    ]
+
+    prefix = base.filter(F.col("warc_file").startswith(str(wdir / "seg-2")))
+    assert prefix.rdd.getNumPartitions() == 1
+
+
+def test_warc_datasource_url_record_skip(spark, tmp_path):
+    """url prefix/equality predicates are consumed record-level: the
+    scan yields only matching records (and suppresses the NULL-url
+    ERROR row, per SQL NULL semantics)."""
+    from pyspark.sql import functions as F
+
+    from westa_ocr_spark.sources.warc_datasource import register
+
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    (wdir / "seg-0.warc.gz").write_bytes(write_warc(RECORDS))
+    (wdir / "seg-bad.warc.gz").write_bytes(b"\x1f\x8bgarbage not gzip")
+    register(spark)
+    base = spark.read.format("warc").load(str(wdir))
+    urls_all = [r["url"] for r in base.collect() if r["url"]]
+    want_prefix = sorted(u for u in urls_all
+                         if u.startswith("https://a."))
+    assert want_prefix  # fixture sanity
+
+    got = (
+        base.filter(F.col("url").startswith("https://a."))
+        .select("url", "status")
+        .collect()
+    )
+    assert sorted(r["url"] for r in got) == want_prefix
+    assert all(r["status"] == "OK" for r in got)  # ERROR row suppressed

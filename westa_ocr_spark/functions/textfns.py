@@ -345,8 +345,13 @@ def normalize_url(col: Column) -> Column:
        authority only, so ``:443/`` inside a path segment survives;
     4. strip tracking params (``utm_*``, ``fbclid``, ``gclid``),
        anchored at a ``?``/``&`` boundary so ``myfbclid=`` or
-       ``xutm_foo=`` in other params survive, then restore the lost
-       ``?`` if the first kept param had followed a stripped one;
+       ``xutm_foo=`` in other params survive. ``&``-position params
+       are stripped outright; a ``?``-position param hands its ``?``
+       to the next kept param (or disappears with it when last) —
+       position-specific rules, so a query-less URL with a literal
+       ``&`` in its path is never rewritten (round-3 ADVICE bug: the
+       old unconditional ``&``->``?`` promotion turned
+       ``http://h/a&b`` into ``http://h/a?b``);
     5. drop a trailing slash (including the bare root slash —
        http(s) treats the empty path and ``/`` as the same resource).
 
@@ -358,8 +363,9 @@ def normalize_url(col: Column) -> Column:
     head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
     rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
     u = F.concat(F.regexp_replace(F.lower(head), r":(80|443)$", ""), rest)
-    u = F.regexp_replace(u, r"[?&](utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*", "")
-    u = F.regexp_replace(u, r"^([^?]*)&", "$1?")
+    u = F.regexp_replace(u, r"&(utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*", "")
+    u = F.regexp_replace(u, r"\?(utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*&", "?")
+    u = F.regexp_replace(u, r"\?(utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*$", "")
     u = F.regexp_replace(u, r"[?&]+$", "")
     u = F.regexp_replace(u, r"(.)/$", "$1")
     return u

@@ -165,22 +165,30 @@ WITH raw AS (
   FROM (SELECT 'site' || cast(doc_id % 50 AS varchar) || '.example' AS host,
                '/p/' || cast(doc_id AS varchar) AS path
         FROM documents WHERE doc_id < 300)
+), lowered AS (
+  -- fragment drop, lowercase scheme+host, default-port strip
+  SELECT regexp_replace(
+           lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+             '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+           ':(80|443)$', '') ||
+         regexp_replace(regexp_replace(url, '#.*$', ''),
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS u
+  FROM raw
 ), norm AS (
+  -- position-specific tracking-param strip (mirrors
+  -- textfns.normalize_url): &-params drop outright; a ?-param hands
+  -- its '?' to the next kept param or vanishes when last
   SELECT regexp_replace(
     regexp_replace(
       regexp_replace(
         regexp_replace(
-          regexp_replace(
-            lower(regexp_extract(regexp_replace(url, '#.*$', ''),
-              '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
-            ':(80|443)$', '') ||
-          regexp_replace(regexp_replace(url, '#.*$', ''),
-            '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
-          '[?&](utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*', '', 'g'),
-        '^([^?]*)&', '\\1?'),
+          regexp_replace(u, '&(utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*',
+                         '', 'g'),
+          '\\?(utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*&', '?'),
+        '\\?(utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*$', ''),
       '[?&]+$', ''),
     '(.)/$', '\\1') AS url_norm
-  FROM raw
+  FROM lowered
 )
 SELECT url_norm, count(*) AS n_variants FROM norm GROUP BY 1
 """

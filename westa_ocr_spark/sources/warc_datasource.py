@@ -32,8 +32,13 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
 )
 
 from westa_ocr_spark.sources.warc import (
@@ -54,28 +59,66 @@ class WarcReader(DataSourceReader):
         if not path:
             raise ValueError("warc datasource requires .load(<path>)")
         self._path = path
-        self._file_filter: set[str] | None = None
+        # fail_on_empty: planning a zero-match glob is an error only
+        # when asked for — the default mirrors Spark's own behavior
+        # for an empty directory (empty DataFrame) and the module's
+        # per-row error-capture contract (ADVICE r3).
+        self._fail_on_empty = str(
+            options.get("failOnEmpty", "false")
+        ).lower() in ("1", "true", "yes")
+        # file-level predicates on warc_file, applied at planning time
+        self._file_preds: list = []
+        # record-level predicates on url, applied while scanning
+        self._url_preds: list = []
 
     def pushFilters(self, filters: list[Filter]) -> list[Filter]:
-        """Consume warc_file equality filters as FILE pruning: a query
-        like ``WHERE warc_file = '/crawl/seg-7.warc.gz'`` plans only
-        the named segment's partition instead of scanning the whole
-        crawl — the Python-DataSource analogue of partition pruning.
-        Everything else stays with Spark."""
+        """Consume predicate pushdowns at two granularities:
+
+        * ``warc_file`` equality / IN-list / prefix / range filters
+          prune whole FILES at planning time — the Python-DataSource
+          analogue of partition pruning (``WHERE warc_file >=
+          '.../seg-2020' AND warc_file < '.../seg-2021'`` plans only
+          that crawl-window's segments);
+        * ``url`` equality / IN / prefix filters skip RECORDS during
+          the scan, before payload bytes leave the reader.
+
+        Everything else stays with Spark. Consumed filters are applied
+        EXACTLY (SQL semantics: a NULL url satisfies nothing, so ERROR
+        rows are suppressed once a url filter is consumed).
+        """
         remaining: list[Filter] = []
         for f in filters:
-            if isinstance(f, EqualTo) and f.attribute == ("warc_file",):
-                vals = {str(f.value)}
-            elif isinstance(f, In) and f.attribute == ("warc_file",):
-                vals = {str(v) for v in f.value}
+            attr = f.attribute
+            if attr == ("warc_file",) and isinstance(
+                f, (EqualTo, In, StringStartsWith, GreaterThan,
+                    GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ):
+                self._file_preds.append(f)
+            elif attr == ("url",) and isinstance(
+                f, (EqualTo, In, StringStartsWith)
+            ):
+                self._url_preds.append(f)
             else:
                 remaining.append(f)
-                continue
-            self._file_filter = (
-                vals if self._file_filter is None
-                else self._file_filter & vals
-            )
         return remaining
+
+    @staticmethod
+    def _matches(value: str, pred: Filter) -> bool:
+        if isinstance(pred, EqualTo):
+            return value == pred.value
+        if isinstance(pred, In):
+            return value in set(pred.value)
+        if isinstance(pred, StringStartsWith):
+            return value.startswith(pred.value)
+        if isinstance(pred, GreaterThan):
+            return value > pred.value
+        if isinstance(pred, GreaterThanOrEqual):
+            return value >= pred.value
+        if isinstance(pred, LessThan):
+            return value < pred.value
+        if isinstance(pred, LessThanOrEqual):
+            return value <= pred.value
+        return True  # pragma: no cover - unreachable (gated above)
 
     def partitions(self) -> list[InputPartition]:
         # one partition per WARC file = Common Crawl's sharding unit
@@ -86,13 +129,17 @@ class WarcReader(DataSourceReader):
         files = sorted(
             f for f in _glob.glob(pattern) if os.path.isfile(f)
         )
-        if not files:
+        if not files and self._fail_on_empty:
             raise ValueError(f"warc datasource: no files match {pattern}")
-        if self._file_filter is not None:
-            files = [f for f in files if f in self._file_filter]
+        files = [
+            f for f in files
+            if all(self._matches(f, p) for p in self._file_preds)
+        ]
         return [_WarcFilePartition(f) for f in files]
 
     def read(self, partition: _WarcFilePartition) -> Iterator[tuple]:
+        if partition is None:  # empty plan: Spark sends one None task
+            return
         fpath = partition.path
         try:
             with open(fpath, "rb") as fh:
@@ -100,8 +147,16 @@ class WarcReader(DataSourceReader):
             for rec in parse_warc(data):
                 if rec["type"] != "response":
                     continue
+                url = rec["url"]
+                if self._url_preds and (
+                    url is None
+                    or not all(
+                        self._matches(url, p) for p in self._url_preds
+                    )
+                ):
+                    continue
                 yield (
-                    rec["url"],
+                    url,
                     _warc_ts(rec["date"]),
                     rec["payload"],
                     "",
@@ -112,6 +167,8 @@ class WarcReader(DataSourceReader):
                     None,
                 )
         except ValueError as exc:
+            if self._url_preds:
+                return  # NULL url satisfies no consumed url predicate
             yield (
                 None, None, None, "", "", fpath, "error", "ERROR",
                 f"warc: {exc}",
