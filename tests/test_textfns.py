@@ -221,3 +221,16 @@ def test_normalize_url_rules(spark):
     got = {r["url"]: r["n"] for r in
            df.select("url", normalize_url(F.col("url")).alias("n")).collect()}
     assert got == cases
+
+
+def test_sequence_packing_strict_respects_budget(spark):
+    """Capacity invariant of the strict packer: no multi-doc pack
+    exceeds the 2048-token budget (an oversized single doc may)."""
+    from westa_ocr_spark.queries.text_q import _q_sequence_packing_strict
+
+    rows = _q_sequence_packing_strict(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["pack_tokens"] <= 2048 or r["n_docs"] == 1, r

@@ -391,6 +391,82 @@ def _q_sequence_packing(spark, sf):
     )
 
 
+def _q_sequence_packing_strict(spark, sf):
+    """Capacity-RESPECTING greedy packing — the form real trainers
+    use: a new pack opens when the current doc would overflow the
+    2048-token budget (``fill + tok > budget``), so no doc straddles
+    a pack boundary; an oversized doc (tok > budget) gets a pack to
+    itself. The fill recurrence resets at each overflow, which no
+    prefix-sum window can express, so the sequential fold runs as
+    ``applyInPandas`` per language — one Arrow batch per group, a
+    linear pass over (doc_id-ordered) token counts, never per-row
+    Python UDF calls. Scale note: parallelism is per-language; a
+    100-TB mix packs within (lang, shard) ranges independently —
+    same operator keyed by an added shard column — since packs
+    never need to cross shard boundaries in practice.
+
+    Oracle: DuckDB ``WITH RECURSIVE`` replays the identical
+    recurrence row-by-row per language.
+    """
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    staged = docs.select(
+        "doc_id", "lang",
+        textfns.token_count(F.col("text")).alias("tok"),
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        pack_id, fill = 0, 0
+        ids = []
+        for tok in pdf["tok"]:
+            t = int(tok)
+            if fill > 0 and fill + t > 2048:
+                pack_id += 1
+                fill = t
+            else:
+                fill += t
+            ids.append(pack_id)
+        return pd.DataFrame(
+            {"lang": pdf["lang"], "pack_id": ids, "tok": pdf["tok"]}
+        )
+
+    packed = staged.groupBy("lang").applyInPandas(
+        pack, "lang string, pack_id long, tok long"
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("pack_tokens"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+_SQL_SEQUENCE_PACKING_STRICT = (
+    "WITH RECURSIVE base AS ("
+    "SELECT lang, doc_id, " + _sql_token_count("text") + " AS tok, "
+    "row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn "
+    "FROM documents WHERE doc_id < 2000"
+    "), packed AS ("
+    "SELECT lang, rn, tok, CAST(0 AS BIGINT) AS pack_id, tok AS fill "
+    "FROM base WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT b.lang, b.rn, b.tok, "
+    "CASE WHEN p.fill > 0 AND p.fill + b.tok > 2048 "
+    "THEN p.pack_id + 1 ELSE p.pack_id END, "
+    "CASE WHEN p.fill > 0 AND p.fill + b.tok > 2048 "
+    "THEN b.tok ELSE p.fill + b.tok END "
+    "FROM base b JOIN packed p ON b.lang = p.lang AND b.rn = p.rn + 1"
+    ") "
+    "SELECT lang, pack_id, count(*) AS n_docs, "
+    "CAST(sum(tok) AS BIGINT) AS pack_tokens "
+    "FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id"
+)
+
+
 _SQL_SEQUENCE_PACKING = (
     "SELECT lang, pack_id, count(*) AS n_docs, "
     "CAST(sum(tok) AS BIGINT) AS pack_tokens FROM ("
@@ -418,4 +494,7 @@ DEFS = {
     "decontamination": (_q_decontamination, _SQL_DECONTAMINATION),
     "domain_stats": (_q_domain_stats, _SQL_DOMAIN_STATS),
     "sequence_packing": (_q_sequence_packing, _SQL_SEQUENCE_PACKING),
+    "sequence_packing_strict": (
+        _q_sequence_packing_strict, _SQL_SEQUENCE_PACKING_STRICT
+    ),
 }

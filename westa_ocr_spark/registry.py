@@ -100,6 +100,7 @@ MANIFEST: list[str] = [
     "tpch_q22",
     "stratified_sample",
     "sequence_packing",
+    "sequence_packing_strict",
     "stream_first_seen",
     "split_pages_udtf",
     "audio_features",
