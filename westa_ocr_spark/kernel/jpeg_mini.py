@@ -1,14 +1,18 @@
-"""Minimal REAL baseline JPEG codec (grayscale), pure stdlib + numpy.
+"""Minimal REAL baseline JPEG codec, pure stdlib + numpy.
 
-Round 3 closes the last multimodal stub: the corpus JPEG writer now
-emits genuinely entropy-coded baseline JFIF (FDCT -> quantization ->
-zigzag -> DC-difference/AC-run-length Huffman with the ITU T.81
-Annex K standard tables), and the decoder reverses it (marker parse,
-Huffman decode, dequantize, IDCT, level shift). Scope: baseline
-sequential, single grayscale component, no subsampling, no restart
-markers — the writer's own dialect plus any conformant single-
-component baseline file. Anything else raises ``ValueError`` (per-row
-ERROR capture upstream).
+Round 3 closed the last multimodal stub with a grayscale codec; round
+4 extends it to COLOR: 3-component YCbCr baseline with 4:4:4 and
+4:2:0 chroma subsampling — the two layouts that cover the vast
+majority of real-crawl JPEGs (VERDICT r3 #5). The writer emits
+genuinely entropy-coded baseline JFIF (RGB->YCbCr, chroma
+downsampling, FDCT -> quantization -> zigzag -> DC-difference/
+AC-run-length Huffman with the ITU T.81 Annex K luminance AND
+chrominance standard tables, interleaved MCU scan), and the decoder
+reverses it for any conformant baseline file with 1 or 3 components
+and sampling factors up to 2x2 (4:4:4, 4:2:0, 4:2:2), nearest-
+neighbor chroma upsampling, BT.601 YCbCr->RGB. Progressive (SOF2),
+arithmetic coding, restart markers and >8-bit precision raise
+``ValueError`` (per-row ERROR capture upstream).
 
 JPEG is lossy: tests assert exact roundtrips only where the math is
 exact (uniform blocks are DC-only) and bounded error elsewhere.
@@ -55,6 +59,41 @@ _AC_VALS = [
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
 
+# ITU T.81 Annex K chrominance quantization table
+_QTABLE_C = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
+# Annex K DC chrominance Huffman spec
+_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALS_C = list(range(12))
+# Annex K AC chrominance Huffman spec
+_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
 _ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -86,6 +125,8 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple]:
 
 _DC_ENC = _huff_codes(_DC_BITS, _DC_VALS)
 _AC_ENC = _huff_codes(_AC_BITS, _AC_VALS)
+_DC_ENC_C = _huff_codes(_DC_BITS_C, _DC_VALS_C)
+_AC_ENC_C = _huff_codes(_AC_BITS_C, _AC_VALS_C)
 
 
 class _BitWriter:
@@ -132,63 +173,173 @@ def _dht_segment(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
 
 
+def _encode_block(bw: _BitWriter, block: np.ndarray, qtable: np.ndarray,
+                  dc_enc: dict, ac_enc: dict, prev_dc: int) -> int:
+    """FDCT + quantize + Huffman-encode one level-shifted 8x8 block;
+    returns the new DC predictor."""
+    coeffs = _C @ block @ _C.T
+    q = np.round(coeffs / qtable).astype(np.int64)
+    zz = q.reshape(64)[_ZIGZAG]
+    cat, bits = _magnitude(int(zz[0]) - prev_dc)
+    c, ln = dc_enc[cat]
+    bw.put(c, ln)
+    if cat:
+        bw.put(bits, cat)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_enc[0xF0]  # ZRL
+            bw.put(c, ln)
+            run -= 16
+        cat, bits = _magnitude(v)
+        c, ln = ac_enc[(run << 4) | cat]
+        bw.put(c, ln)
+        bw.put(bits, cat)
+        run = 0
+    if run:
+        c, ln = ac_enc[0x00]  # EOB
+        bw.put(c, ln)
+    return int(zz[0])
+
+
+def _pad_edge(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate a plane up to (ph, pw), level-shifted float."""
+    h, w = plane.shape
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = plane
+    if ph > h:
+        padded[h:, :w] = plane[h - 1 : h, :]
+    if pw > w:
+        padded[:, w:] = padded[:, w - 1 : w]
+    return padded - 128.0
+
+
+def _jfif_headers(dqt: bytes, sof0: bytes, dht: bytes,
+                  sos: bytes) -> bytes:
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos
+
+
+def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
+    return (b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+            + bytes(int(table.reshape(64)[_ZIGZAG[i]]) for i in range(64)))
+
+
 def write_jpeg_gray(pixels: np.ndarray) -> bytes:
     """Encode an (h, w) uint8 array as baseline grayscale JFIF."""
     h, w = pixels.shape
     if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
         raise ValueError("jpeg: bad dimensions")
-    ph = (h + 7) // 8 * 8
-    pw = (w + 7) // 8 * 8
-    padded = np.empty((ph, pw), dtype=np.float64)
-    padded[:h, :w] = pixels
-    padded[h:, :w] = pixels[h - 1 : h, :]  # edge replicate
-    padded[:, w:] = padded[:, w - 1 : w]
-    padded -= 128.0
+    padded = _pad_edge(pixels.astype(np.float64),
+                       (h + 7) // 8 * 8, (w + 7) // 8 * 8)
     bw = _BitWriter()
     prev_dc = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            block = padded[by : by + 8, bx : bx + 8]
-            coeffs = _C @ block @ _C.T
-            q = np.round(coeffs / _QTABLE).astype(np.int64)
-            zz = q.reshape(64)[_ZIGZAG]
-            cat, bits = _magnitude(int(zz[0]) - prev_dc)
-            prev_dc = int(zz[0])
-            c, ln = _DC_ENC[cat]
-            bw.put(c, ln)
-            if cat:
-                bw.put(bits, cat)
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = _AC_ENC[0xF0]  # ZRL
-                    bw.put(c, ln)
-                    run -= 16
-                cat, bits = _magnitude(v)
-                c, ln = _AC_ENC[(run << 4) | cat]
-                bw.put(c, ln)
-                bw.put(bits, cat)
-                run = 0
-            if run:
-                c, ln = _AC_ENC[0x00]  # EOB
-                bw.put(c, ln)
+    for by in range(0, padded.shape[0], 8):
+        for bx in range(0, padded.shape[1], 8):
+            prev_dc = _encode_block(
+                bw, padded[by : by + 8, bx : bx + 8], _QTABLE,
+                _DC_ENC, _AC_ENC, prev_dc,
+            )
     entropy = bw.flush()
-
-    app0 = (b"\xff\xe0" + struct.pack(">H", 16)
-            + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
-    dqt = (b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
-           + bytes(int(_QTABLE.reshape(64)[_ZIGZAG[i]]) for i in range(64)))
     sof0 = (b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
             + b"\x01\x11\x00")
     dht = (_dht_segment(0x00, _DC_BITS, _DC_VALS)
            + _dht_segment(0x10, _AC_BITS, _AC_VALS))
     sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
-    return (b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + entropy
-            + b"\xff\xd9")
+    return (_jfif_headers(_dqt_segment(0, _QTABLE), sof0, dht, sos)
+            + entropy + b"\xff\xd9")
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, ...]:
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _subsample2(plane: np.ndarray) -> np.ndarray:
+    """2x2 mean downsample (odd edges replicate)."""
+    h, w = plane.shape
+    ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+    p = np.empty((ph, pw), dtype=np.float64)
+    p[:h, :w] = plane
+    if ph > h:
+        p[h:, :w] = plane[h - 1 : h, :]
+    if pw > w:
+        p[:, w:] = p[:, w - 1 : w]
+    return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2]
+            + p[1::2, 1::2]) / 4.0
+
+
+def write_jpeg_color(rgb: np.ndarray, subsampling: str = "420") -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as baseline YCbCr JFIF.
+
+    ``subsampling``: ``"420"`` (2x2 luma sampling, the common crawl
+    layout) or ``"444"`` (no subsampling). Interleaved single-scan MCU
+    order, Annex-K luminance tables for Y and chrominance tables for
+    Cb/Cr — the layout libjpeg emits by default.
+    """
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("jpeg: expected (h, w, 3) RGB")
+    h, w = rgb.shape[:2]
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
+        raise ValueError("jpeg: bad dimensions")
+    if subsampling not in ("420", "444"):
+        raise ValueError("jpeg: subsampling must be '420' or '444'")
+    y, cb, cr = _rgb_to_ycbcr(rgb)
+    if subsampling == "420":
+        hy = vy = 2
+        cb, cr = _subsample2(cb), _subsample2(cr)
+    else:
+        hy = vy = 1
+    # pad each plane to MCU-aligned block grids
+    mcu_w, mcu_h = 8 * hy, 8 * vy
+    yp = _pad_edge(y, (h + mcu_h - 1) // mcu_h * mcu_h,
+                   (w + mcu_w - 1) // mcu_w * mcu_w)
+    cbp = _pad_edge(cb, (cb.shape[0] + 7) // 8 * 8,
+                    (cb.shape[1] + 7) // 8 * 8)
+    crp = _pad_edge(cr, (cr.shape[0] + 7) // 8 * 8,
+                    (cr.shape[1] + 7) // 8 * 8)
+    n_mcu_x = yp.shape[1] // mcu_w
+    n_mcu_y = yp.shape[0] // mcu_h
+    bw = _BitWriter()
+    dc = [0, 0, 0]
+    for my in range(n_mcu_y):
+        for mx in range(n_mcu_x):
+            for v in range(vy):  # Y blocks of this MCU
+                for u in range(hy):
+                    by = my * mcu_h + v * 8
+                    bx = mx * mcu_w + u * 8
+                    dc[0] = _encode_block(
+                        bw, yp[by : by + 8, bx : bx + 8], _QTABLE,
+                        _DC_ENC, _AC_ENC, dc[0],
+                    )
+            for ci, plane in ((1, cbp), (2, crp)):
+                by, bx = my * 8, mx * 8
+                dc[ci] = _encode_block(
+                    bw, plane[by : by + 8, bx : bx + 8], _QTABLE_C,
+                    _DC_ENC_C, _AC_ENC_C, dc[ci],
+                )
+    entropy = bw.flush()
+    samp_y = (hy << 4) | vy
+    sof0 = (b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+            + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    dht = (_dht_segment(0x00, _DC_BITS, _DC_VALS)
+           + _dht_segment(0x10, _AC_BITS, _AC_VALS)
+           + _dht_segment(0x01, _DC_BITS_C, _DC_VALS_C)
+           + _dht_segment(0x11, _AC_BITS_C, _AC_VALS_C))
+    sos = (b"\xff\xda" + struct.pack(">H", 12)
+           + bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0x3F, 0]))
+    dqt = _dqt_segment(0, _QTABLE) + _dqt_segment(1, _QTABLE_C)
+    return _jfif_headers(dqt, sof0, dht, sos) + entropy + b"\xff\xd9"
 
 
 class _BitReader:
@@ -257,8 +408,40 @@ def _extend(bits: int, cat: int) -> int:
     return bits
 
 
-def decode_jpeg_gray(data: bytes) -> np.ndarray:
-    """Decode a baseline single-component JPEG to (h, w) uint8."""
+def _decode_block(br: _BitReader, dct: dict, act: dict, qt: np.ndarray,
+                  prev_dc: int) -> tuple[np.ndarray, int]:
+    """Huffman-decode + dequantize one block; returns (block, new DC)."""
+    zz = np.zeros(64, dtype=np.int64)
+    cat = _read_symbol(br, dct)
+    diff = _extend(br.bits(cat), cat) if cat else 0
+    prev_dc += diff
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = _read_symbol(br, act)
+        if sym == 0x00:  # EOB
+            break
+        run, cat = sym >> 4, sym & 0x0F
+        if cat == 0:
+            if run != 15:
+                raise ValueError("jpeg: bad AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k >= 64:
+            raise ValueError("jpeg: AC coefficient overflow")
+        zz[k] = _extend(br.bits(cat), cat)
+        k += 1
+    q = np.zeros(64, dtype=np.float64)
+    q[_ZIGZAG] = zz
+    return q.reshape(8, 8) * qt, prev_dc
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG: (h, w) uint8 for grayscale files,
+    (h, w, 3) uint8 RGB for 3-component YCbCr files (sampling factors
+    up to 2x2: 4:4:4, 4:2:0, 4:2:2; nearest-neighbor chroma
+    upsampling, BT.601 conversion)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -266,7 +449,8 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     h = w = None
-    comp_q = comp_dc = comp_ac = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
+    scan_map: dict[int, tuple[int, int]] = {}    # cid -> (td, ta)
     scan_at = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -290,10 +474,18 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 at += 65
         elif marker == 0xC0:
             _prec, hh, ww, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
-                raise ValueError("jpeg: only single-component baseline")
+            if ncomp not in (1, 3):
+                raise ValueError("jpeg: 1 or 3 components only")
             h, w = hh, ww
-            comp_q = body[8]
+            for ci in range(ncomp):
+                cid = body[6 + 3 * ci]
+                samp = body[7 + 3 * ci]
+                hi, vi = samp >> 4, samp & 0x0F
+                if ncomp == 1:
+                    hi = vi = 1  # single-comp scans are never interleaved
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise ValueError("jpeg: sampling factors above 2x2")
+                comps.append((cid, hi, vi, body[8 + 3 * ci]))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("jpeg: only baseline SOF0 supported")
@@ -311,58 +503,94 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                     dc_tables[tc_th & 0x0F] = tbl
                 at += 17 + nv
         elif marker == 0xDA:
-            comp_dc = body[2] >> 4
-            comp_ac = body[2] & 0x0F
+            ns = body[0]
+            if ns != len(comps):
+                raise ValueError("jpeg: multi-scan files unsupported")
+            for si in range(ns):
+                cid = body[1 + 2 * si]
+                tda = body[2 + 2 * si]
+                scan_map[cid] = (tda >> 4, tda & 0x0F)
             scan_at = pos + 2 + seglen
             break
         elif marker == 0xDD:
             raise ValueError("jpeg: restart intervals unsupported")
         pos += 2 + seglen
-    if scan_at is None or h is None:
+    if scan_at is None or h is None or not comps:
         raise ValueError("jpeg: missing SOS/SOF")
-    qt = qtables.get(comp_q)
-    dct = dc_tables.get(comp_dc)
-    act = ac_tables.get(comp_ac)
-    if qt is None or dct is None or act is None:
-        raise ValueError("jpeg: missing tables")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     end = data.rfind(b"\xff\xd9")
     br = _BitReader(data[scan_at : end if end > scan_at else len(data)])
-    bh = (h + 7) // 8
-    bw_ = (w + 7) // 8
-    blocks = np.zeros((bh * bw_, 8, 8), dtype=np.float64)
-    prev_dc = 0
-    for bi in range(bh * bw_):
-        zz = np.zeros(64, dtype=np.int64)
-        cat = _read_symbol(br, dct)
-        diff = _extend(br.bits(cat), cat) if cat else 0
-        prev_dc += diff
-        zz[0] = prev_dc
-        k = 1
-        while k < 64:
-            sym = _read_symbol(br, act)
-            if sym == 0x00:  # EOB
-                break
-            run, cat = sym >> 4, sym & 0x0F
-            if cat == 0:
-                if run != 15:
-                    raise ValueError("jpeg: bad AC symbol")
-                k += 16  # ZRL
-                continue
-            k += run
-            if k >= 64:
-                raise ValueError("jpeg: AC coefficient overflow")
-            zz[k] = _extend(br.bits(cat), cat)
-            k += 1
-        q = np.zeros(64, dtype=np.float64)
-        q[_ZIGZAG] = zz
-        blocks[bi] = q.reshape(8, 8) * qt
-    # IDCT all blocks at once: C.T @ B @ C
-    spatial = np.einsum("ux,nuv,vy->nxy", _C, blocks, _C) + 128.0
-    img = np.zeros(((bh * 8), (bw_ * 8)), dtype=np.float64)
-    for bi in range(bh * bw_):
-        by, bx = divmod(bi, bw_)
-        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial[bi]
-    return np.clip(np.round(img[:h, :w]), 0, 255).astype(np.uint8)
+    n_mcu_x = (w + 8 * hmax - 1) // (8 * hmax)
+    n_mcu_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes: list[np.ndarray] = []
+    plane_blocks: list[list] = []
+    tables: list[tuple[dict, dict, np.ndarray]] = []
+    for cid, hi, vi, tq in comps:
+        if cid not in scan_map:
+            raise ValueError("jpeg: SOS omits a frame component")
+        td, ta = scan_map[cid]
+        qt = qtables.get(tq)
+        dct = dc_tables.get(td)
+        act = ac_tables.get(ta)
+        if qt is None or dct is None or act is None:
+            raise ValueError("jpeg: missing tables")
+        tables.append((dct, act, qt))
+        planes.append(np.zeros(
+            (n_mcu_y * vi * 8, n_mcu_x * hi * 8), dtype=np.float64
+        ))
+        plane_blocks.append([])
+    dc = [0] * len(comps)
+    block_pos: list[list[tuple[int, int]]] = [[] for _ in comps]
+    for my in range(n_mcu_y):
+        for mx in range(n_mcu_x):
+            for ci, (cid, hi, vi, _tq) in enumerate(comps):
+                dct, act, qt = tables[ci]
+                for v in range(vi):
+                    for u in range(hi):
+                        blk, dc[ci] = _decode_block(
+                            br, dct, act, qt, dc[ci]
+                        )
+                        plane_blocks[ci].append(blk)
+                        block_pos[ci].append(
+                            ((my * vi + v) * 8, (mx * hi + u) * 8)
+                        )
+    out_planes: list[np.ndarray] = []
+    for ci, (cid, hi, vi, _tq) in enumerate(comps):
+        blocks = np.stack(plane_blocks[ci])
+        spatial = np.einsum("ux,nuv,vy->nxy", _C, blocks, _C) + 128.0
+        plane = planes[ci]
+        for bi, (by, bx) in enumerate(block_pos[ci]):
+            plane[by : by + 8, bx : bx + 8] = spatial[bi]
+        # crop to the component's true dims, then upsample to full res
+        ch = (h * vi + vmax - 1) // vmax
+        cw = (w * hi + hmax - 1) // hmax
+        plane = plane[:ch, :cw]
+        if vi != vmax or hi != hmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        return np.clip(
+            np.round(out_planes[0]), 0, 255
+        ).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-__all__ = ["write_jpeg_gray", "decode_jpeg_gray"]
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Decode a baseline single-component JPEG to (h, w) uint8 (the
+    round-3 API; color files raise so gray-only callers stay exact)."""
+    px = decode_jpeg(data)
+    if px.ndim != 2:
+        raise ValueError("jpeg: not a grayscale file")
+    return px
+
+
+__all__ = ["write_jpeg_gray", "write_jpeg_color", "decode_jpeg",
+           "decode_jpeg_gray"]

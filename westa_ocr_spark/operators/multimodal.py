@@ -171,6 +171,29 @@ def write_jpeg(width: int, height: int) -> bytes:
     return write_jpeg_gray(pixels)
 
 
+def write_jpeg_rgb(width: int, height: int,
+                   subsampling: str = "420") -> bytes:
+    """REAL color baseline JPEG (round 4): 3-component YCbCr with
+    4:2:0 or 4:4:4 subsampling via :mod:`westa_ocr_spark.kernel.
+    jpeg_mini`, deterministic smooth RGB gradients derived from the
+    dimensions (smooth content keeps the lossy roundtrip tight for
+    golden tests)."""
+    import numpy as np
+
+    from westa_ocr_spark.kernel.jpeg_mini import write_jpeg_color
+
+    y, x = np.mgrid[0:height, 0:width]
+    rgb = np.stack(
+        [
+            np.clip(y * 3 + 16, 0, 255),
+            np.clip(x * 2 + 32, 0, 255),
+            np.clip(x + y + 64, 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    return write_jpeg_color(rgb, subsampling)
+
+
 def _gif_lzw_encode(indices: list[int], min_code: int) -> bytes:
     """Greedy GIF LZW (LSB-first variable-width codes) — the writer
     half of the round-3 real-GIF path."""
@@ -455,11 +478,14 @@ def gif_pixel_features(data: bytes) -> list[float]:
 
 def jpeg_pixel_features(data: bytes) -> list[float]:
     """Real 16-dim JPEG feature vector from the baseline decoder
-    (kernel/jpeg_mini): grayscale plane as a 1-channel array."""
-    from westa_ocr_spark.kernel.jpeg_mini import decode_jpeg_gray
+    (kernel/jpeg_mini): grayscale plane as 1 channel, color YCbCr
+    files (4:4:4 / 4:2:0 / 4:2:2 — round 4) as 3 RGB channels."""
+    from westa_ocr_spark.kernel.jpeg_mini import decode_jpeg
 
-    px = decode_jpeg_gray(data)
-    return _channel_stat_features(px.reshape(*px.shape, 1))
+    px = decode_jpeg(data)
+    if px.ndim == 2:
+        px = px.reshape(*px.shape, 1)
+    return _channel_stat_features(px)
 
 
 def _channel_stat_features(px) -> list[float]:

@@ -22,7 +22,8 @@ from westa_ocr_spark.queries.common import (  # noqa: F401
 def _media_df(spark, sf):
     """Synthetic media table: REAL png/jpeg/gif bytes (round 2 —
     correct CRCs, SOF segments, screen descriptors) with dimensions
-    derived from doc_id, plus a garbage leg for the ERROR path."""
+    derived from doc_id, plus color-JPEG legs (round 4: 4:2:0 and
+    4:4:4 YCbCr) and a garbage leg for the ERROR path."""
     from westa_ocr_spark.operators import multimodal as mm
 
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
@@ -35,12 +36,16 @@ def _media_df(spark, sf):
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
                 w, h = 16 + i % 32, 16 + (i * 7) % 32
-                if i % 4 == 0:
+                if i % 6 == 0:
                     blob = mm.write_jpeg(w, h)
-                elif i % 4 == 1:
+                elif i % 6 == 1:
                     blob = mm.write_png(w, h)
-                elif i % 4 == 2:
+                elif i % 6 == 2:
                     blob = mm.write_gif(w, h)
+                elif i % 6 == 3:
+                    blob = mm.write_jpeg_rgb(w, h, "420")
+                elif i % 6 == 4:
+                    blob = mm.write_jpeg_rgb(w, h, "444")
                 else:
                     blob = b"not an image " + str(i).encode()
                 urls.append(f"doc://{i}")
