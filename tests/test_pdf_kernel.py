@@ -339,3 +339,126 @@ def test_wrong_password_still_errors():
     bad = enc[: at + 4] + b"00" * 32 + enc[at + 4 + 64:]
     with pytest.raises(ValueError, match="encrypted"):
         extract_pdf_pages(bad)
+
+
+# -- AES (V4/R4 AESV2) empty-user-password fixtures (round 4) -----------
+# The AES core is validated against the OFFICIAL FIPS-197 Appendix C
+# known-answer vectors (independent ground truth), and the PDF
+# assembly + key derivation below is written independently of
+# pdf_core's decryptor (ISO 32000 7.6.2/7.6.3 straight from the
+# spec), so the fixture cross-checks rather than round-trips.
+
+
+def test_aes_core_fips197_vectors():
+    from westa_ocr_spark.kernel.pdf_core import (
+        _aes_decrypt_block,
+        _aes_encrypt_block,
+        _aes_expand_key,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    vectors = [
+        ("000102030405060708090a0b0c0d0e0f",
+         "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        ("000102030405060708090a0b0c0d0e0f1011121314151617",
+         "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        ("000102030405060708090a0b0c0d0e0f10111213141516171819"
+         "1a1b1c1d1e1f",
+         "8ea2b7ca516745bfeafc49904b496089"),
+    ]
+    for keyhex, cthex in vectors:
+        rk = _aes_expand_key(bytes.fromhex(keyhex))
+        ct = _aes_encrypt_block(rk, pt)
+        assert ct.hex() == cthex
+        assert _aes_decrypt_block(rk, ct) == pt
+
+
+def _write_encrypted_pdf_aes(text):
+    """Independent V4/R4 AESV2 assembly: key schedule per ISO 32000
+    7.6.3 written out here (not imported from the decryptor); only
+    the FIPS-197-pinned CBC primitive is shared."""
+    import hashlib
+    import struct
+
+    from westa_ocr_spark.kernel.pdf_core import _aes_cbc_encrypt
+
+    id0 = bytes(range(16))
+    n = 16  # 128-bit
+    h = hashlib.md5(_PAD).digest()
+    for _ in range(50):
+        h = hashlib.md5(h).digest()
+    okey = h[:n]
+    o = _rc4_ref(okey, _PAD)
+    for i in range(1, 20):
+        o = _rc4_ref(bytes(b ^ i for b in okey), o)
+    h = hashlib.md5(
+        _PAD + o + struct.pack("<I", 0xFFFFFFFF) + id0
+    ).digest()
+    key = h[:n]
+    for _ in range(50):
+        key = hashlib.md5(key[:n]).digest()[:n]
+    u = _rc4_ref(key, hashlib.md5(_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4_ref(bytes(b ^ i for b in key), u)
+    u += b"\x00" * 16
+    # algorithm 1 with the AES salt for content stream 4 0
+    ok = hashlib.md5(
+        key + (4).to_bytes(3, "little") + (0).to_bytes(2, "little")
+        + b"sAlT"
+    ).digest()[: min(n + 5, 16)]
+    content = b"BT /F1 12 Tf 72 720 Td (" + text.encode("latin-1") \
+        + b") Tj ET"
+    enc_content = _aes_cbc_encrypt(ok, b"\x07" * 16, content)
+    objs = [
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+        b"endobj\n",
+        b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(enc_content), enc_content),
+        b"5 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+        b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+        b"/O <%s> /U <%s> /P -1 >>\nendobj\n"
+        % (o.hex().encode(), u.hex().encode()),
+    ]
+    body = b"%PDF-1.4\n" + b"".join(objs)
+    trailer = (
+        b"trailer\n<< /Size 6 /Root 1 0 R /Encrypt 5 0 R /ID [<%s> <%s>]"
+        b" >>\n%%%%EOF\n" % (id0.hex().encode(), id0.hex().encode())
+    )
+    return body + trailer
+
+
+def test_empty_password_aesv2_decrypts_byte_identically():
+    """An empty-user-password AES-128 (V4/R4 AESV2) document must
+    extract byte-identically to its plaintext — the second encrypted
+    class pypdf opens silently (VERDICT r3 #10)."""
+    text = "the aes hidden page text 42"
+    enc = _write_encrypted_pdf_aes(text)
+    assert b"aes hidden page" not in enc  # really ciphertext
+    assert extract_pdf_pages(enc) == [text]
+
+
+def test_writer_aes_dialect_across_layouts():
+    """encrypt_pdf(aes=True) on every writer dialect extracts
+    byte-identically to the plaintext twin (corpus v5 dialect)."""
+    from westa_ocr_spark.kernel.pdf_mini import encrypt_pdf
+
+    pages = ["Order A\nline two", "second page\nmore text"]
+    for kw in ({}, {"compress": True},
+               {"objstm": True, "tj_arrays": True}):
+        plain = write_pdf(pages, **kw)
+        enc = encrypt_pdf(plain, aes=True)
+        assert extract_pdf_pages(enc) == extract_pdf_pages(plain)
+        assert encrypt_pdf(plain, aes=True) == enc  # deterministic
+
+
+def test_aes256_v5_still_errors():
+    """AES-256 (V5/R6) is out of scope and must keep the clean
+    encrypted-ERROR path, never emit garbage."""
+    enc = _write_encrypted_pdf_aes("locked")
+    at = enc.index(b"/V 4 /R 4")
+    bad = enc[:at] + b"/V 5 /R 6" + enc[at + len(b"/V 4 /R 4"):]
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_pages(bad)

@@ -388,11 +388,13 @@ _FILTERS = {
 _OBJ_HDR = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _TRAILER = re.compile(rb"trailer")
 
-# -- standard security handler (empty-user-password RC4, R2/R3) ----------
+# -- standard security handler (empty user password) ---------------------
 # The reference's splitter (pypdf, /root/reference/requirements.txt)
 # transparently decrypts documents whose user password is empty; the
 # same is implementable pure-stdlib for the classic RC4 handler
-# (ISO 32000 7.6.3 algorithms 2-5). AES (/V 4+) stays unsupported.
+# (ISO 32000 7.6.3 algorithms 2-5, R2/R3) and — round 4 — the
+# AESV2 crypt filter (V4/R4, AES-128-CBC below). AES-256 (V5/R6)
+# stays unsupported and takes the ERROR path.
 
 _PWD_PAD = bytes(
     (0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
@@ -415,6 +417,148 @@ def _rc4(key: bytes, data: bytes) -> bytes:
         j = (j + s[i]) & 0xFF
         s[i], s[j] = s[j], s[i]
         out.append(b ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+# -- AES-128-CBC (pure python, FIPS-197) for the AESV2 crypt filter --
+# Tables are generated, not transcribed: the S-box is the affine
+# transform of the GF(2^8) multiplicative inverse; exp/log tables use
+# generator 3. Validated against the FIPS-197 Appendix C known-answer
+# vectors in tests.
+
+def _xtime(a: int) -> int:
+    a <<= 1
+    return (a ^ 0x1B) & 0xFF if a & 0x100 else a
+
+
+_GF_EXP = [0] * 510
+_GF_LOG = [0] * 256
+_g = 1
+for _i in range(255):
+    _GF_EXP[_i] = _g
+    _GF_LOG[_g] = _i
+    _g ^= _xtime(_g)  # multiply by generator 3: g*2 ^ g
+for _i in range(255, 510):
+    _GF_EXP[_i] = _GF_EXP[_i - 255]
+
+
+def _gmul(a: int, b: int) -> int:
+    if a == 0 or b == 0:
+        return 0
+    return _GF_EXP[_GF_LOG[a] + _GF_LOG[b]]
+
+
+_AES_SBOX = [0] * 256
+for _i in range(256):
+    _q = 0 if _i == 0 else _GF_EXP[255 - _GF_LOG[_i]]
+    _s = _q
+    for _ in range(4):
+        _q = ((_q << 1) | (_q >> 7)) & 0xFF
+        _s ^= _q
+    _AES_SBOX[_i] = _s ^ 0x63
+_AES_INV_SBOX = [0] * 256
+for _i, _v in enumerate(_AES_SBOX):
+    _AES_INV_SBOX[_v] = _i
+
+
+def _aes_expand_key(key: bytes) -> list[list[int]]:
+    """Round keys as flat 16-int lists (column-major state order)."""
+    nk = len(key) // 4
+    if nk not in (4, 6, 8):
+        raise ValueError("aes: key must be 16/24/32 bytes")
+    nr = nk + 6
+    words = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    rcon = 1
+    for i in range(nk, 4 * (nr + 1)):
+        tmp = list(words[i - 1])
+        if i % nk == 0:
+            tmp = tmp[1:] + tmp[:1]
+            tmp = [_AES_SBOX[b] for b in tmp]
+            tmp[0] ^= rcon
+            rcon = _xtime(rcon)
+        elif nk > 6 and i % nk == 4:
+            tmp = [_AES_SBOX[b] for b in tmp]
+        words.append([a ^ b for a, b in zip(words[i - nk], tmp)])
+    return [
+        [words[4 * r + c][j] for c in range(4) for j in range(4)]
+        for r in range(nr + 1)
+    ]
+
+
+_SHIFT = [0, 5, 10, 15, 4, 9, 14, 3, 8, 13, 2, 7, 12, 1, 6, 11]
+_INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
+
+
+def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    s = [b ^ k for b, k in zip(block, rk[0])]
+    nr = len(rk) - 1
+    for rnd in range(1, nr):
+        s = [_AES_SBOX[s[i]] for i in _SHIFT]
+        ns = [0] * 16
+        for c in range(4):
+            a = s[4 * c : 4 * c + 4]
+            ns[4 * c + 0] = _gmul(a[0], 2) ^ _gmul(a[1], 3) ^ a[2] ^ a[3]
+            ns[4 * c + 1] = a[0] ^ _gmul(a[1], 2) ^ _gmul(a[2], 3) ^ a[3]
+            ns[4 * c + 2] = a[0] ^ a[1] ^ _gmul(a[2], 2) ^ _gmul(a[3], 3)
+            ns[4 * c + 3] = _gmul(a[0], 3) ^ a[1] ^ a[2] ^ _gmul(a[3], 2)
+        s = [b ^ k for b, k in zip(ns, rk[rnd])]
+    s = [_AES_SBOX[s[i]] for i in _SHIFT]
+    return bytes(b ^ k for b, k in zip(s, rk[nr]))
+
+
+def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    nr = len(rk) - 1
+    s = [b ^ k for b, k in zip(block, rk[nr])]
+    for rnd in range(nr - 1, 0, -1):
+        s = [_AES_INV_SBOX[s[i]] for i in _INV_SHIFT]
+        s = [b ^ k for b, k in zip(s, rk[rnd])]
+        ns = [0] * 16
+        for c in range(4):
+            a = s[4 * c : 4 * c + 4]
+            ns[4 * c + 0] = (_gmul(a[0], 14) ^ _gmul(a[1], 11)
+                             ^ _gmul(a[2], 13) ^ _gmul(a[3], 9))
+            ns[4 * c + 1] = (_gmul(a[0], 9) ^ _gmul(a[1], 14)
+                             ^ _gmul(a[2], 11) ^ _gmul(a[3], 13))
+            ns[4 * c + 2] = (_gmul(a[0], 13) ^ _gmul(a[1], 9)
+                             ^ _gmul(a[2], 14) ^ _gmul(a[3], 11))
+            ns[4 * c + 3] = (_gmul(a[0], 11) ^ _gmul(a[1], 13)
+                             ^ _gmul(a[2], 9) ^ _gmul(a[3], 14))
+        s = ns
+    s = [_AES_INV_SBOX[s[i]] for i in _INV_SHIFT]
+    return bytes(b ^ k for b, k in zip(s, rk[0]))
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """PDF AESV2 stream layout: 16-byte IV prefix, then CBC
+    ciphertext with PKCS#5 padding (ISO 32000 7.6.2)."""
+    if len(data) < 32 or len(data) % 16:
+        raise ValueError("aes: bad ciphertext length")
+    rk = _aes_expand_key(key)
+    prev = data[:16]
+    out = bytearray()
+    for at in range(16, len(data), 16):
+        blk = data[at : at + 16]
+        out += bytes(
+            a ^ b for a, b in zip(_aes_decrypt_block(rk, blk), prev)
+        )
+        prev = blk
+    pad = out[-1]
+    if not (1 <= pad <= 16) or out[-pad:] != bytes([pad]) * pad:
+        raise ValueError("aes: bad padding")
+    return bytes(out[:-pad])
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    rk = _aes_expand_key(key)
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    prev = iv
+    out = bytearray(iv)
+    for at in range(0, len(data), 16):
+        prev = _aes_encrypt_block(
+            rk, bytes(a ^ b for a, b in zip(data[at : at + 16], prev))
+        )
+        out += prev
     return bytes(out)
 
 
@@ -454,12 +598,14 @@ def _std_user_check(enc: dict, id0: bytes, key: bytes) -> bool:
     return cand[:16] == u[:16]
 
 
-def _std_object_key(key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1: per-object RC4 key."""
+def _std_object_key(key: bytes, num: int, gen: int,
+                    aes: bool = False) -> bytes:
+    """Algorithm 1: per-object key (AESV2 appends the 'sAlT' tag)."""
     import hashlib
 
+    salt = b"sAlT" if aes else b""
     h = hashlib.md5(
-        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little") + salt
     ).digest()
     return h[: min(len(key) + 5, 16)]
 
@@ -655,16 +801,18 @@ class PdfDocument:
         return enc, id0
 
     def _setup_decryption(self) -> None:
-        """Empty-user-password RC4 decrypt (standard handler R2/R3).
+        """Empty-user-password decrypt: RC4 (standard handler R2/R3)
+        and — round 4 — AES-128-CBC (V4/R4 with the AESV2 StdCF crypt
+        filter, the layout Acrobat 7+ writes).
 
         The reference's pypdf splitter opens such documents silently;
-        we do the same for the classic handler: derive the file key
-        with the empty password, verify it against /U, and decrypt
-        every top-level stream in place (XRef streams are never
-        encrypted by spec; strings outside content streams are left
-        alone — text extraction reads only content streams). Wrong
-        password, AES, or crypt filters leave the document encrypted
-        and extraction takes the per-row ERROR path.
+        we do the same: derive the file key with the empty password,
+        verify it against /U, and decrypt every top-level stream in
+        place (XRef streams are never encrypted by spec; strings
+        outside content streams are left alone — text extraction reads
+        only content streams). Wrong password, AES-256 (V5), or
+        non-standard crypt filters leave the document encrypted and
+        extraction takes the per-row ERROR path.
         """
         enc_ref, id0 = self._encrypt_entry()
         if enc_ref is None:
@@ -672,10 +820,28 @@ class PdfDocument:
         enc = self.resolve(enc_ref)
         if not isinstance(enc, dict):
             return
-        if (str(enc.get("Filter")) != "Standard"
-                or int(enc.get("V", 0)) not in (1, 2)
-                or int(enc.get("R", 0)) not in (2, 3)):
-            return  # AES / crypt filters: stays encrypted
+        if str(enc.get("Filter")) != "Standard":
+            return
+        v, r = int(enc.get("V", 0)), int(enc.get("R", 0))
+        aes = False
+        if v in (1, 2) and r in (2, 3):
+            pass  # classic RC4 handler
+        elif v == 4 and r == 4:
+            # V4 names per-class crypt filters; support the single
+            # standard layout: StdCF for streams with CFM AESV2 (or
+            # V2 = RC4 under the V4 container)
+            cf = enc.get("CF")
+            stmf = str(enc.get("StmF", "Identity"))
+            if not isinstance(cf, dict) or stmf != "StdCF":
+                return
+            stdcf = cf.get("StdCF")
+            cfm = str(stdcf.get("CFM")) if isinstance(stdcf, dict) else ""
+            if cfm == "AESV2":
+                aes = True
+            elif cfm != "V2":
+                return
+        else:
+            return  # AES-256 / unknown revisions: stays encrypted
         try:
             key = _std_file_key(enc, id0)
             if not _std_user_check(enc, id0, key):
@@ -688,8 +854,14 @@ class PdfDocument:
                 continue
             if val.dict.get("Type") == Name("XRef"):
                 continue  # xref streams are never encrypted
-            okey = _std_object_key(key, num, self.gens.get(num, 0))
-            self.objects[num] = StreamObj(val.dict, _rc4(okey, val.raw))
+            okey = _std_object_key(key, num, self.gens.get(num, 0),
+                                   aes=aes)
+            try:
+                plain = (_aes_cbc_decrypt(okey, val.raw) if aes
+                         else _rc4(okey, val.raw))
+            except ValueError:
+                continue  # leave undecryptable stream as-is
+            self.objects[num] = StreamObj(val.dict, plain)
         self.decrypted = True
 
     def is_encrypted(self) -> bool:

@@ -246,30 +246,40 @@ def _write_pdf_objstm(pages: list[str], tj_arrays: bool) -> bytes:
     return bytes(buf)
 
 
-def encrypt_pdf(data: bytes, *, r: int = 3, length: int = 128) -> bytes:
+def encrypt_pdf(data: bytes, *, r: int = 3, length: int = 128,
+                aes: bool = False) -> bytes:
     """Encrypt a written PDF with the standard handler and an EMPTY
     user password (the document class pypdf opens silently; our
     reader decrypts it via ``pdf_core._setup_decryption``).
 
-    RC4 is length-preserving, so every stream payload is ciphered IN
-    PLACE (byte offsets, ``/Length`` values, and the xref all stay
-    valid), then an incremental-update tail appends the ``/Encrypt``
-    dictionary and a new trailer carrying it plus the ``/ID``. The
-    file ID derives from the plaintext md5 — deterministic corpus.
+    RC4 (default) is length-preserving, so every stream payload is
+    ciphered IN PLACE (byte offsets, ``/Length`` values, and the xref
+    all stay valid). AES mode (round 4: V4/R4 with the AESV2 StdCF
+    crypt filter) grows each payload by IV + padding, so the stream
+    is respliced and its literal ``/Length`` patched — byte offsets
+    shift and the original xref goes stale, which the tolerant
+    full-file object scan absorbs (real incremental-update PDFs have
+    stale xrefs too). Both modes append an incremental-update tail
+    carrying ``/Encrypt`` and the ``/ID``; the file ID and AES IVs
+    derive from the plaintext md5 — deterministic corpus.
     """
     import hashlib
     import re
 
     from westa_ocr_spark.kernel.pdf_core import (
+        _aes_cbc_encrypt,
         _rc4,
         _std_object_key,
         make_standard_encryption,
     )
 
+    if aes:
+        r, length = 4, 128
     id0 = hashlib.md5(data).digest()
     o, u, key = make_standard_encryption(r, length, id0)
 
-    out = bytearray(data)
+    out = bytearray()
+    last = 0
     max_obj = 0
     for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", data):
         num, gen = int(m.group(1)), int(m.group(2))
@@ -291,17 +301,47 @@ def encrypt_pdf(data: bytes, *, r: int = 3, length: int = 128) -> bytes:
             payload, tail = payload[:-1], b"\n"
         else:
             tail = b""
-        out[s:e] = _rc4(_std_object_key(key, num, gen), payload) + tail
-    v = 1 if r == 2 else 2
+        okey = _std_object_key(key, num, gen, aes=aes)
+        if aes:
+            iv = hashlib.md5(
+                id0 + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+            ).digest()
+            cipher = _aes_cbc_encrypt(okey, iv, payload)
+        else:
+            cipher = _rc4(okey, payload)
+        header = bytes(data[m.start() : s])
+        if len(cipher) != len(payload):
+            header = re.sub(
+                rb"/Length\s+\d+",
+                b"/Length " + str(len(cipher)).encode(),
+                header, count=1,
+            )
+        out += data[last : m.start()] + header + cipher + tail
+        last = e
+    out += data[last:]
     enc_num = max_obj + 1
+    if aes:
+        enc_body = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+            b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+            b"/O <%s> /U <%s> /P -1 >>"
+            % (o.hex().encode(), u.hex().encode())
+        )
+    else:
+        v = 1 if r == 2 else 2
+        enc_body = (
+            b"<< /Filter /Standard /V %d /R %d /Length %d "
+            b"/O <%s> /U <%s> /P -1 >>"
+            % (v, r, length, o.hex().encode(), u.hex().encode())
+        )
     tail = (
-        b"%d 0 obj\n<< /Filter /Standard /V %d /R %d /Length %d "
-        b"/O <%s> /U <%s> /P -1 >>\nendobj\n"
+        b"%d 0 obj\n%s\nendobj\n"
         b"trailer\n<< /Root 1 0 R /Encrypt %d 0 R /ID [<%s> <%s>] >>\n"
         b"%%%%EOF\n"
         % (
-            enc_num, v, r, length, o.hex().encode(), u.hex().encode(),
-            enc_num, id0.hex().encode(), id0.hex().encode(),
+            enc_num, enc_body, enc_num,
+            id0.hex().encode(), id0.hex().encode(),
         )
     )
     return bytes(out) + tail
