@@ -48,6 +48,8 @@ HEADLINE = [
     "merge_upsert",
     "stratified_sample",
     "sequence_packing",
+    # round 4
+    "sequence_packing_strict",
 ]
 
 
@@ -123,8 +125,8 @@ def main() -> None:
             time.sleep(5)
 
     _settle()
-    extract_sec = float("inf")
     res = None
+    attempts: list[float] = []
     for attempt in range(5):
         shutil.rmtree(out_dir, ignore_errors=True)
         time.sleep(3)  # let the previous attempt's GC/turbo decay
@@ -132,7 +134,15 @@ def main() -> None:
         res = run_extraction_job(
             spark, pages_path, out_dir, resume=False, run_id="bench"
         )
-        extract_sec = min(extract_sec, time.time() - t0)
+        attempts.append(time.time() - t0)
+    # VERDICT r3 #8 / ADVICE: publish cold AND steady-state numbers so
+    # cross-round comparisons stay honest — `value`/`queries` remain
+    # best-of-N steady state (the rate a long resident job converges
+    # to), `*_cold`/`*_median` expose the first-run and central
+    # tendency under the same protocol
+    extract_sec = min(attempts)
+    extract_cold = attempts[0]
+    extract_median = sorted(attempts)[len(attempts) // 2]
     timings["extract_pipeline"] = round(extract_sec, 3)
     docs_per_sec = round(res.docs_in / extract_sec, 2)
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -152,16 +162,18 @@ def main() -> None:
     # best-of-2 per query: single-shot timings swing ±40% with this
     # host's background noise; the second run also reflects warm
     # code paths, which is what a resident service would see
+    queries_median: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = QUERIES[name]
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n_rows = df.count()  # force full execution
-            best = min(best, time.time() - t0)
+            runs.append(time.time() - t0)
             assert n_rows >= 0
-        timings[name] = round(best, 3)
+        timings[name] = round(min(runs), 3)
+        queries_median[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -171,10 +183,19 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": queries_median,
                 "sf": sf_dir,
                 "docs_per_sec": docs_per_sec,
+                "docs_per_sec_cold": round(res.docs_in / extract_cold, 2),
+                "extract_cold_sec": round(extract_cold, 3),
+                "extract_median_sec": round(extract_median, 3),
                 "extract_docs": res.docs_in,
                 "cpus": int(cpus),
+                "protocol": (
+                    "load-settle + codegen prewarm; extract best-of-5 "
+                    "(cold/median also reported); queries best-of-2 "
+                    "(median also reported)"
+                ),
             }
         )
     )
