@@ -784,6 +784,334 @@ _SQL_TPCH_Q22 = (
 
 
 # name -> (Spark DataFrame fn, DuckDB oracle SQL or None).
+# ---------------------------------------------------------------------------
+# Round 4: the six remaining TPC-H shapes (q2/q9/q11/q16/q20/q21),
+# adapted to the driver tables (no partsupp / l_commitdate /
+# l_receiptdate / l_shipmode exist; each docstring states the
+# substitution). With these, all 22 TPC-H query SHAPES are covered.
+
+def _q_tpch_q2(spark, sf):
+    """TPC-H q2 (min-cost supplier, correlated-min shape). Adaptation:
+    no partsupp table — the part-supplier 'supply' relation derives
+    from lineitem as min(l_extendedprice) per (l_partkey, l_suppkey)
+    (exact DECIMAL, so the min-equality join is engine-exact, the q15/
+    q17 trick); region filter ASIA via supplier->nation->region."""
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    part = _t(spark, sf, "part").filter(F.col("p_size") <= 10)
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(price).alias("cost")
+    )
+    in_region = (
+        supply.join(F.broadcast(supp),
+                    supply.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    min_cost = in_region.groupBy("l_partkey").agg(
+        F.min("cost").alias("min_cost")
+    ).withColumnRenamed("l_partkey", "mc_partkey")
+    return (
+        in_region.join(
+            min_cost,
+            (in_region.l_partkey == min_cost.mc_partkey)
+            & (in_region.cost == min_cost.min_cost),
+        )
+        .join(F.broadcast(part), in_region.l_partkey == part.p_partkey)
+        .select(
+            round_det(F.col("s_acctbal").cast("double"), 2).alias(
+                "s_acctbal"
+            ),
+            "s_name", "n_name", "p_partkey", "p_type",
+            round_det(F.col("cost").cast("double"), 2).alias("min_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_SQL_TPCH_Q2 = (
+    "WITH supply AS ("
+    "SELECT l_partkey, l_suppkey, "
+    "min(cast(l_extendedprice AS decimal(18,4))) AS cost "
+    "FROM lineitem GROUP BY l_partkey, l_suppkey"
+    "), in_region AS ("
+    "SELECT supply.*, s_acctbal, s_name, n_name FROM supply "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'"
+    ") SELECT " + _sql_round_det("cast(s_acctbal AS double)", 2)
+    + " AS s_acctbal, s_name, n_name, p_partkey, p_type, "
+    + _sql_round_det("cast(cost AS double)", 2) + " AS min_cost "
+    "FROM in_region JOIN part ON l_partkey = p_partkey AND p_size <= 10 "
+    "WHERE cost = (SELECT min(cost) FROM in_region i2 "
+    "WHERE i2.l_partkey = in_region.l_partkey) "
+    "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
+)
+
+
+def _q_tpch_q9(spark, sf):
+    """TPC-H q9 (product-type profit by nation and year). Adaptation:
+    no partsupp.ps_supplycost — supply cost is modeled as
+    0.1 * p_retailprice * l_quantity (exact DECIMAL path); parts
+    filtered by name containing 'red' (the corpus p_name grammar)."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_name").contains("red"))
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    orders = _t(spark, sf, "orders")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(5,3)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    retail = F.col("p_retailprice").cast("decimal(12,2)")
+    amount = (
+        price * (F.lit(1).cast("decimal(5,3)") - disc)
+        - qty * retail * F.lit(0.1).cast("decimal(2,1)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(round_det(F.sum("amount").cast("double"), 2).alias(
+            "sum_profit"
+        ))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_SQL_TPCH_Q9 = (
+    "SELECT n_name AS nation, year(o_orderdate) AS o_year, "
+    + _sql_round_det(
+        "cast(sum(cast(l_extendedprice AS decimal(18,4)) * "
+        "(cast(1 AS decimal(5,3)) - cast(l_discount AS decimal(5,3))) - "
+        "cast(l_quantity AS decimal(12,2)) * "
+        "cast(p_retailprice AS decimal(12,2)) * "
+        "cast(0.1 AS decimal(2,1))) AS double)", 2)
+    + " AS sum_profit "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE p_name LIKE '%red%' "
+    "GROUP BY n_name, year(o_orderdate) "
+    "ORDER BY nation, o_year DESC"
+)
+
+
+def _q_tpch_q11(spark, sf):
+    """TPC-H q11 (important stock, HAVING > scalar-subquery fraction).
+    Adaptation: no partsupp — per-part 'value' is the exact DECIMAL
+    sum of l_extendedprice over lineitems sold by NATION_1 suppliers;
+    the 0.1% threshold scalar is computed as a 1-row driver collect
+    (the q22 pattern: a broadcast cross-join of a 1-row aggregate
+    plans as BroadcastNestedLoopJoin and trips the cartesian audit)."""
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    base = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("l_partkey", price.alias("price"))
+    )
+    total = base.agg(F.sum("price").alias("t")).collect()[0]["t"] or 0
+    threshold = F.lit(total * 1 / 1000).cast("decimal(28,8)")
+    return (
+        base.groupBy("l_partkey")
+        .agg(F.sum("price").alias("value_dec"))
+        .filter(F.col("value_dec").cast("decimal(28,8)") > threshold)
+        .select(
+            "l_partkey",
+            round_det(F.col("value_dec").cast("double"), 2).alias("value"),
+        )
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+_SQL_TPCH_Q11 = (
+    "WITH base AS ("
+    "SELECT l_partkey, cast(l_extendedprice AS decimal(18,4)) AS price "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'"
+    ") SELECT l_partkey, "
+    + _sql_round_det("cast(sum(price) AS double)", 2) + " AS value "
+    "FROM base GROUP BY l_partkey "
+    "HAVING cast(sum(price) AS decimal(28,8)) > "
+    "(SELECT cast(sum(price) AS decimal(28,8)) / 1000 FROM base) "
+    "ORDER BY value DESC, l_partkey"
+)
+
+
+def _q_tpch_q16(spark, sf):
+    """TPC-H q16 (parts/supplier relationship: count distinct
+    suppliers per part group, minus excluded suppliers via NOT IN).
+    Adaptation: the part-supplier relation derives from lineitem; the
+    'complaints' NOT-IN subquery excludes suppliers with negative
+    account balance."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_type") != "economy")
+    bad_supp = _t(spark, sf, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    rel = (
+        li.select("l_partkey", "l_suppkey").distinct()
+        .join(F.broadcast(bad_supp),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        rel.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+_SQL_TPCH_Q16 = (
+    "SELECT p_brand, p_type, p_size, "
+    "count(DISTINCT l_suppkey) AS supplier_cnt "
+    "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) rel "
+    "JOIN part ON l_partkey = p_partkey "
+    "WHERE p_type <> 'economy' AND l_suppkey NOT IN "
+    "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+    "GROUP BY p_brand, p_type, p_size "
+    "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50"
+)
+
+
+def _q_tpch_q20(spark, sf):
+    """TPC-H q20 (potential part promotion, nested-IN shape):
+    suppliers of NATION_2 whose 1997 shipped quantity of 'small%'
+    parts exceeds 50 units. Adaptation: no partsupp/availqty — the
+    threshold applies to the lineitem-derived shipped quantity
+    directly; the nested IN chain (parts by name -> lineitems ->
+    suppliers) is preserved as semi-join stages."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = _t(spark, sf, "part").filter(
+        F.col("p_name").startswith("small")
+    ).select("p_partkey")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_2")
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey,
+                "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(shipped, supp.s_suppkey == shipped.l_suppkey,
+                  "left_semi")
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == nation.n_nationkey, "left_semi")
+        .select("s_name", round_det(
+            F.col("s_acctbal").cast("double"), 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+_SQL_TPCH_Q20 = (
+    "SELECT s_name, " + _sql_round_det("cast(s_acctbal AS double)", 2)
+    + " AS s_acctbal FROM supplier "
+    "WHERE s_suppkey IN ("
+    "SELECT l_suppkey FROM lineitem "
+    "WHERE l_partkey IN (SELECT p_partkey FROM part "
+    "WHERE p_name LIKE 'small%') "
+    "AND l_shipdate >= timestamp '1997-01-01 00:00:00' "
+    "AND l_shipdate < timestamp '1998-01-01 00:00:00' "
+    "GROUP BY l_suppkey HAVING sum(l_quantity) > 50) "
+    "AND s_nationkey IN (SELECT n_nationkey FROM nation "
+    "WHERE n_name = 'NATION_2') "
+    "ORDER BY s_name"
+)
+
+
+def _q_tpch_q21(spark, sf):
+    """TPC-H q21 (suppliers who kept orders waiting: the only-late-
+    supplier shape). Adaptation: no l_commitdate/l_receiptdate — a
+    line is 'late' when l_shipdate > o_orderdate + 90 days. A
+    supplier waits an order when: the order is finalized ('F'), it has
+    >=2 distinct suppliers, this supplier shipped late, and NO other
+    supplier did. The double-EXISTS is expressed as one grouped pass
+    (per-order distinct supplier / late-supplier counts) — same
+    result, one shuffle instead of two correlated probes."""
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_4")
+    )
+    lines = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "o_orderkey", "l_suppkey",
+        (F.col("l_shipdate")
+         > F.expr("o_orderdate + INTERVAL 90 DAYS")).alias("late"),
+    )
+    per_supp = lines.groupBy("o_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("was_late")
+    )
+    per_order = per_supp.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("was_late").alias("n_late"),
+    )
+    waiting = (
+        per_supp.filter(F.col("was_late") == 1)
+        .join(per_order, "o_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(supp),
+                     waiting.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == nation.n_nationkey, "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+_SQL_TPCH_Q21 = (
+    "WITH lines AS ("
+    "SELECT o_orderkey, l_suppkey, "
+    "CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY "
+    "THEN 1 ELSE 0 END AS late "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE o_orderstatus = 'F'"
+    "), per_supp AS ("
+    "SELECT o_orderkey, l_suppkey, max(late) AS was_late "
+    "FROM lines GROUP BY o_orderkey, l_suppkey"
+    "), per_order AS ("
+    "SELECT o_orderkey, count(*) AS n_supp, sum(was_late) AS n_late "
+    "FROM per_supp GROUP BY o_orderkey"
+    ") SELECT s_name, CAST(count(*) AS BIGINT) AS numwait "
+    "FROM per_supp JOIN per_order USING (o_orderkey) "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "WHERE was_late = 1 AND n_supp >= 2 AND n_late = 1 "
+    "AND s_nationkey IN (SELECT n_nationkey FROM nation "
+    "WHERE n_name IN ('NATION_3', 'NATION_4')) "
+    "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
+)
+
+
 DEFS = {
     "tpch_q1": (_q_tpch_q1, _SQL_TPCH_Q1),
     "tpch_q3": (_q_tpch_q3, _SQL_TPCH_Q3),
@@ -801,4 +1129,11 @@ DEFS = {
     "tpch_q10": (_q_tpch_q10, _SQL_TPCH_Q10),
     "tpch_q14": (_q_tpch_q14, _SQL_TPCH_Q14),
     "tpch_q18": (_q_tpch_q18, _SQL_TPCH_Q18),
+    # round 4: the remaining six shapes — all 22 covered
+    "tpch_q2": (_q_tpch_q2, _SQL_TPCH_Q2),
+    "tpch_q9": (_q_tpch_q9, _SQL_TPCH_Q9),
+    "tpch_q11": (_q_tpch_q11, _SQL_TPCH_Q11),
+    "tpch_q16": (_q_tpch_q16, _SQL_TPCH_Q16),
+    "tpch_q20": (_q_tpch_q20, _SQL_TPCH_Q20),
+    "tpch_q21": (_q_tpch_q21, _SQL_TPCH_Q21),
 }

@@ -104,6 +104,13 @@ MANIFEST: list[str] = [
     "stream_first_seen",
     "split_pages_udtf",
     "audio_features",
+    # -- round-4 additions --------------------------------------------
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
     # -- scale-critical veterans (driver-green in r1/r2) --------------
     "exact_dedup",
     "minhash_signatures",
