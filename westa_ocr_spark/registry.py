@@ -54,69 +54,37 @@ for _mod in (
 
 
 # The driver correctness window is MANIFEST[:50], top-down.
+#
+# ROTATION POLICY (round 4, VERDICT r3 #2): each round the window
+# holds, in priority order, (1) every query whose definition or
+# oracle CHANGED this round, (2) every NEW query, (3) the
+# longest-unverified veterans — queries whose most recent driver-green
+# row is oldest — until the 50 slots are full. Entries past the
+# boundary keep their newest green CORRECTNESS_r{N} row as evidence;
+# nothing may rest on a row older than ~2 rounds before rotating back
+# in. Round-4 window: 4 r3-red fixes + url_normalize (definition
+# changed) + 7 new queries + 38 veterans whose last driver row is
+# r1/r2. Rotated out (r3-green, unchanged): the 44 r3-window
+# survivors plus simhash16 / embedding_topk / lsh_topk / ivf_topk /
+# deterministic_sample / top_terms, which are first in line for the
+# round-5 window.
 MANIFEST: list[str] = [
-    # -- round-2 oracled, first driver exposure this round ------------
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q18",
-    "asof_join",
-    "range_join",
-    "value_quantiles",
-    "group_zscore",
-    "running_range_window",
-    "duplicate_groups",
-    "dedup_keep_canonical",
-    "line_dedup",
-    "gopher_quality",
-    "url_normalize",
-    "pii_redaction",
-    "decontamination",
+    # -- r3-red rows, fixed this round (must re-verify green) ---------
     "domain_stats",
-    "parse_pages",
-    "embedding_dup_pairs",
-    "stream_windowed_counts",
-    "stream_session_windows",
-    "hypertable_rollup",
-    "cms_estimates",
-    # -- round-2 rows-only, first driver exposure this round ----------
-    "lsh_dup_candidates",
-    "embedding_dup_pairs_lsh",
-    "warc_ingest",
-    "media_features",
-    "frame_sampling",
-    "split_pdf_payloads",
-    # -- round-3 additions (inserted here as they land) ---------------
-    "merge_upsert",
-    "tpch_q4",
     "tpch_q12",
-    "tpch_q13",
-    "tpch_q19",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q22",
-    "stratified_sample",
     "sequence_packing",
-    "sequence_packing_strict",
-    "stream_first_seen",
-    "split_pages_udtf",
-    "audio_features",
+    "media_features",
+    # -- definition changed this round --------------------------------
+    "url_normalize",
     # -- round-4 additions --------------------------------------------
+    "sequence_packing_strict",
     "tpch_q2",
     "tpch_q9",
     "tpch_q11",
     "tpch_q16",
     "tpch_q20",
     "tpch_q21",
-    # -- scale-critical veterans (driver-green in r1/r2) --------------
-    "exact_dedup",
-    "minhash_signatures",
-    "ngram_jaccard",
-    "lang_id",
-    "quality_scores",
+    # -- longest-unverified veterans (last driver row r1/r2) ----------
     "parse_details",
     "tpch_q1",
     "tpch_q3",
@@ -124,9 +92,6 @@ MANIFEST: list[str] = [
     "simhash64",
     "embedding_knn",
     "sessionize",
-    # ======================= driver window boundary ==================
-    # Long-stable veterans below keep their r1/r2 green CORRECTNESS
-    # rows as evidence (the driver re-checks only the first 50).
     "filter_pending",
     "filter_errors",
     "filter_nonempty",
@@ -152,18 +117,66 @@ MANIFEST: list[str] = [
     "props_extract",
     "token_counts",
     "fingerprints",
-    "simhash16",
-    "embedding_topk",
-    "lsh_topk",
-    "ivf_topk",
     "drive_id_normalize",
     "prompt_assembly",
     "base64_roundtrip",
     "rollup_counts",
     "pivot_event_types",
     "set_ops",
+    # ======================= driver window boundary ==================
+    # Below: r3-green unchanged queries (CORRECTNESS_r03 rows stand as
+    # evidence) and the six r1/r2 veterans next in rotation.
+    "simhash16",
+    "embedding_topk",
+    "lsh_topk",
+    "ivf_topk",
     "deterministic_sample",
     "top_terms",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "asof_join",
+    "range_join",
+    "value_quantiles",
+    "group_zscore",
+    "running_range_window",
+    "duplicate_groups",
+    "dedup_keep_canonical",
+    "line_dedup",
+    "gopher_quality",
+    "pii_redaction",
+    "decontamination",
+    "parse_pages",
+    "embedding_dup_pairs",
+    "stream_windowed_counts",
+    "stream_session_windows",
+    "hypertable_rollup",
+    "cms_estimates",
+    "lsh_dup_candidates",
+    "embedding_dup_pairs_lsh",
+    "warc_ingest",
+    "frame_sampling",
+    "split_pdf_payloads",
+    "merge_upsert",
+    "tpch_q4",
+    "tpch_q13",
+    "tpch_q19",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q22",
+    "stratified_sample",
+    "stream_first_seen",
+    "split_pages_udtf",
+    "audio_features",
+    "exact_dedup",
+    "minhash_signatures",
+    "ngram_jaccard",
+    "lang_id",
+    "quality_scores",
 ]
 
 if set(MANIFEST) != set(_DEFS):  # pragma: no cover - assembly guard
