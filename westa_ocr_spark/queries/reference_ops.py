@@ -150,11 +150,17 @@ _SQL_JOIN_BROADCAST = (
 
 
 def _q_resume_anti_join(spark, sf):
-    # J4: checkpointed-resume anti-join (customers without orders)
+    # J4: checkpointed-resume anti-join — all work minus finished work
+    # (customers with no order since mid-1998). The recency filter
+    # keeps the result non-degenerate at every sf tier: the unfiltered
+    # form matched zero rows at sf0.01, which the driver compare
+    # passes trivially (the r3 exact_dedup lesson).
     cust = _t(spark, sf, "customer")
-    orders = _t(spark, sf, "orders")
+    done = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= "1998-06-01"
+    )
     return cust.join(
-        orders.select("o_custkey").distinct(),
+        done.select("o_custkey").distinct(),
         cust.c_custkey == F.col("o_custkey"),
         "left_anti",
     ).select("c_custkey", "c_name")
@@ -162,7 +168,8 @@ def _q_resume_anti_join(spark, sf):
 
 _SQL_RESUME_ANTI_JOIN = (
     "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("
-    "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderdate >= timestamp '1998-06-01 00:00:00')"
 )
 
 
