@@ -170,6 +170,99 @@ _SQL_TOP_TERMS = (
 
 
 
+_BM25_TERMS = ["hash", "join", "spark"]
+
+
+def _q_bm25_search(spark, sf):
+    """BM25 document retrieval (round 4): score documents against the
+    fixed query 'hash join spark' with the standard Okapi formula
+    (k1=1.2, b=0.75), top 20. Corpus statistics (N, avgdl, per-term
+    df) come from one tiny aggregate collected on the driver — the
+    idf scalars then enter the scoring expression as literals, so the
+    scan-side plan is a single stage with no BroadcastNestedLoopJoin
+    (the q22/q11 pattern). Token counts reuse the registry's shared
+    normalization, staged as their own projection so the split isn't
+    re-evaluated per reference (CollapseProject pitfall). The DuckDB
+    twin computes the identical expression tree from the same exact
+    integer statistics, so doubles match bit-for-bit before the
+    deterministic 6-dp round that both sides sort on."""
+    import math
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 1000)
+    words = F.split(textfns.normalize_text(F.col("text")), " ")
+
+    def _tf(term):
+        # NB: a two-arg lambda would select F.filter's (element, index)
+        # overload — the term must close over a one-arg lambda
+        return F.size(F.filter("w", lambda x: x == F.lit(term)))
+
+    staged = docs.select("doc_id", words.alias("w")).select(
+        "doc_id",
+        F.size(F.filter("w", lambda x: F.length(x) > 0)).alias("dl"),
+        *[_tf(t).alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    stats = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    ).collect()[0]
+    n, avgdl = stats["n"], float(stats["avgdl"])
+    score = F.lit(0.0)
+    any_tf = F.lit(0)
+    for t in _BM25_TERMS:
+        df = stats[f"df_{t}"]
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+        tf = F.col(f"tf_{t}")
+        score = score + (
+            F.lit(idf) * tf * F.lit(2.2)
+            / (tf + F.lit(1.2)
+               * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+        )
+        any_tf = any_tf + tf
+    return (
+        staged.filter(any_tf > 0)
+        .select("doc_id", round_det(score, 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+def _sql_bm25():
+    tf_cols = ", ".join(
+        f"len(list_filter({_SQL_WORDS.format(c='text')}, x -> x = '{t}'))"
+        f" AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    contrib = " + ".join(
+        f"(ln((n - df_{t} + 0.5) / (df_{t} + 0.5) + 1) * tf_{t} * 2.2 "
+        f"/ (tf_{t} + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+        for t in _BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    any_tf = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
+    return (
+        "WITH staged AS (SELECT doc_id, "
+        f"len(list_filter({_SQL_WORDS.format(c='text')},"
+        " x -> length(x) > 0)) AS dl, "
+        + tf_cols
+        + " FROM documents WHERE doc_id < 1000), "
+        f"stats AS (SELECT count(*) AS n, avg(dl) AS avgdl, {df_cols} "
+        "FROM staged) SELECT doc_id, "
+        + _sql_round_det(f"({contrib})", 6)
+        + f" AS score FROM staged, stats WHERE {any_tf} > 0 "
+        "ORDER BY score DESC, doc_id LIMIT 20"
+    )
+
+
+_SQL_BM25_SEARCH = _sql_bm25()
+
+
 # ---------------------------------------------------------------------------
 # Custom join operators (as-of, binned range) — DuckDB native ASOF as
 # the oracle
@@ -472,6 +565,7 @@ DEFS = {
     "deterministic_sample": (_q_deterministic_sample, _SQL_DETERMINISTIC_SAMPLE),
     "sessionize": (_q_sessionize, _SQL_SESSIONIZE),
     "top_terms": (_q_top_terms, _SQL_TOP_TERMS),
+    "bm25_search": (_q_bm25_search, _SQL_BM25_SEARCH),
     "asof_join": (_q_asof_join, _SQL_ASOF_JOIN),
     "range_join": (_q_range_join, _SQL_RANGE_JOIN),
     "value_quantiles": (_q_value_quantiles, _SQL_VALUE_QUANTILES),

@@ -108,9 +108,94 @@ _SQL_STREAM_FIRST_SEEN = (
 
 
 
+def _q_stream_stream_join(spark, sf):
+    """Watermarked STREAM-STREAM inner join run for real (round 4):
+    view->click attribution within 3 hours per user, as two
+    Structured Streaming sources over the same bounded replay, joined
+    with watermarks on both sides plus the event-time range condition
+    (the state-cleanup pattern Spark requires for stream-stream
+    joins), drained with availableNow into parquet. For an INNER join
+    the watermark only bounds state, never results, so the bounded
+    drain equals the batch self-join — which is exactly what the
+    DuckDB oracle computes. ts cast from NTZ first (no watermark
+    support on TIMESTAMP_NTZ)."""
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    base = tempfile.gettempdir() + "/westa_q_ss_join"
+    shutil.rmtree(base, ignore_errors=True)
+    src, out, chk = f"{base}/src", f"{base}/out", f"{base}/chk"
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return spark.readStream.schema(schema).parquet(src)
+
+    views = (
+        stream().filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "30 minutes")
+    )
+    clicks = (
+        stream().filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts")
+           + F.expr("INTERVAL 180 MINUTES")),
+    ).select("v_user", "view_id", "click_id")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.min("view_id").alias("first_view_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SQL_STREAM_STREAM_JOIN = (
+    "WITH pairs AS ("
+    "SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id "
+    "FROM events v JOIN events c ON v.user_id = c.user_id "
+    "AND v.event_type = 'view' AND c.event_type = 'click' "
+    "AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 180 MINUTE"
+    ") SELECT user_id, CAST(count(*) AS BIGINT) AS n_attributed, "
+    "min(view_id) AS first_view_id "
+    "FROM pairs GROUP BY user_id ORDER BY user_id"
+)
+
+
 # name -> (Spark DataFrame fn, DuckDB oracle SQL or None).
 DEFS = {
     "stream_windowed_counts": (_q_stream_windowed_counts, _SQL_STREAM_WINDOWED_COUNTS),
     "stream_session_windows": (_q_stream_session_windows, _SQL_STREAM_SESSION_WINDOWS),
     "stream_first_seen": (_q_stream_first_seen, _SQL_STREAM_FIRST_SEEN),
+    "stream_stream_join": (_q_stream_stream_join, _SQL_STREAM_STREAM_JOIN),
 }

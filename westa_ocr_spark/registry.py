@@ -84,6 +84,8 @@ MANIFEST: list[str] = [
     "tpch_q16",
     "tpch_q20",
     "tpch_q21",
+    "stream_stream_join",
+    "bm25_search",
     # -- longest-unverified veterans (last driver row r1/r2) ----------
     "parse_details",
     "tpch_q1",
@@ -121,11 +123,13 @@ MANIFEST: list[str] = [
     "prompt_assembly",
     "base64_roundtrip",
     "rollup_counts",
-    "pivot_event_types",
-    "set_ops",
     # ======================= driver window boundary ==================
     # Below: r3-green unchanged queries (CORRECTNESS_r03 rows stand as
-    # evidence) and the six r1/r2 veterans next in rotation.
+    # evidence) and the r1/r2 veterans next in rotation
+    # (pivot_event_types / set_ops joined the next-in-line list when
+    # stream_stream_join + bm25_search took their window slots).
+    "pivot_event_types",
+    "set_ops",
     "simhash16",
     "embedding_topk",
     "lsh_topk",
