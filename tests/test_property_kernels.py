@@ -30,7 +30,9 @@ def test_html_extract_total_on_arbitrary_bytes(data):
     desyncs spans."""
     try:
         text, spans = extract_html(data)
-    except UnicodeDecodeError:
+    except (UnicodeDecodeError, ValueError):
+        # undecodable bytes, or a malformed marked section (round 4:
+        # stdlib's AssertionError normalized to ValueError)
         return
     raw = text.encode("utf-8")
     for s in spans:
@@ -152,3 +154,41 @@ def test_warc_roundtrip_arbitrary_payloads(items, gz):
     parsed = parse_warc(write_warc(recs, gzip_members=gz))
     assert [r["payload"] for r in parsed] == [r["html"] for r in recs]
     assert [r["url"] for r in parsed] == [r["url"] for r in recs]
+
+
+_MARKUP_SOUP = st.text(
+    alphabet="ab c<>/=\"'&;!?-[]pdivscrptyle\n\t#x0123",
+    max_size=400,
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_MARKUP_SOUP)
+def test_fast_tokenizer_equivalent_to_stdlib(soup):
+    """Round 4: the fast tokenizer must produce byte-identical
+    (text, spans) to the html.parser reference path on adversarial
+    markup soup — quotes, entities, comments, PIs, marked sections,
+    script/style cdata, bogus tags. The stdlib path is the arbiter."""
+    data = soup.encode("utf-8")
+
+    def run(which):
+        try:
+            return extract_html(data, tokenizer=which)
+        except ValueError as exc:
+            return ("VALUE_ERROR", str(exc))
+
+    assert run("fast") == run("stdlib")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=1500))
+def test_fast_tokenizer_equivalent_on_plain_text(soup):
+    data = soup.encode("utf-8")
+
+    def run(which):
+        try:
+            return extract_html(data, tokenizer=which)
+        except ValueError as exc:
+            return ("VALUE_ERROR", str(exc))
+
+    assert run("fast") == run("stdlib")

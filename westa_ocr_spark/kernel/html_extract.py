@@ -36,6 +36,8 @@ Contract (frozen — fixtures are byte-identical against this):
 
 from __future__ import annotations
 
+import re
+from html import unescape
 from html.parser import HTMLParser
 
 # Elements that start a new text block.
@@ -169,18 +171,228 @@ class _Extractor(HTMLParser):
         self.close()
         self._flush()
 
+    def parse_marked_section(self, i, report=1):  # noqa: ANN001
+        # stdlib raises AssertionError on unknown marked-section
+        # keywords (`<![junk[`), which would escape the per-row
+        # ERROR capture; normalize to the same ValueError the fast
+        # tokenizer raises so both paths agree byte-for-byte
+        try:
+            return super().parse_marked_section(i, report)
+        except ValueError:
+            raise
+        except Exception as exc:
+            raise ValueError("html: malformed marked section") from exc
 
-def extract_html(html_bytes: bytes) -> tuple[str, list[dict]]:
+
+# ---------------------------------------------------------------------------
+# Fast tokenizer (round 4). html.parser's goahead/parse_starttag loop
+# is ~80% of kernel time under profile, much of it spent extracting
+# ATTRIBUTES the extractor never reads, tracking (line, offset)
+# positions, and managing the incremental feed buffer. `_fast_feed`
+# is a faithful single-shot port of goahead(end=1) that REUSES the
+# stdlib's own compiled grammar regexes (so tag/attr/charref
+# tokenization boundaries are identical by construction) but skips
+# attribute extraction, position bookkeeping and buffer splits. Event
+# stream (starttag/startendtag/endtag/data with charrefs decoded,
+# script/style bodies raw until their matching close, names
+# lowercased, all the lenient bogus-markup fallbacks) matches the
+# stdlib path; equivalence is enforced over the corpus grammar, the
+# pinned fixtures and a hypothesis fuzzer with the stdlib path as
+# arbiter (tests/test_html_kernel.py).
+
+from _markupbase import (  # noqa: E402  (stdlib-private but stable)
+    _declname_match,
+    _markedsectionclose,
+    _msmarkedsectionclose,
+)
+from html.parser import (  # noqa: E402
+    commentclose as _commentclose,
+    endtagfind as _endtagfind,
+    locatestarttagend_tolerant as _locatestart,
+    piclose as _piclose,
+    starttagopen as _starttagopen,
+    tagfind_tolerant as _tagfind,
+)
+
+_CDATA_CLOSE = {
+    t: re.compile(r"</\s*%s" % t, re.IGNORECASE)
+    for t in ("script", "style")
+}
+_AFTER_ATTRS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/"
+)
+_MARKED_STD = frozenset({"temp", "cdata", "ignore", "include", "rcdata"})
+_MARKED_MS = frozenset({"if", "else", "endif"})
+
+
+def _fast_feed(text: str, p: _Extractor) -> None:  # noqa: C901
+    i, n = 0, len(text)
+    find = text.find
+    data = p.handle_data
+    starttag = p.handle_starttag
+    endtag = p.handle_endtag
+    cdata_elem: str | None = None
+    cdata_close = None
+    while i < n:
+        # ---- data run ---------------------------------------------------
+        if cdata_elem is None:
+            j = find("<", i)
+            if j < 0:
+                j = n
+            if i < j:
+                seg = text[i:j]
+                data(unescape(seg) if "&" in seg else seg)
+            i = j
+            if i == n:
+                break
+        else:
+            m = cdata_close.search(text, i)
+            if m is None:
+                # goahead drops an unterminated cdata tail at EOF
+                break
+            if i < m.start():
+                data(text[i : m.start()])  # raw, no charref decode
+            i = m.start()
+        # ---- markup at text[i] == '<' -----------------------------------
+        k = -1  # -1 = incomplete construct (EOF): bogus-data fallback
+        if _starttagopen.match(text, i) and cdata_elem is None:
+            lm = _locatestart.match(text, i)
+            j = lm.end()
+            nxt = text[j : j + 1]
+            if nxt == ">":
+                endpos, selfclose = j + 1, False
+            elif nxt == "/" and text.startswith("/>", j):
+                endpos, selfclose = j + 2, True
+            elif nxt == "" or nxt == "/" or nxt in _AFTER_ATTRS:
+                endpos = -1  # incomplete at EOF
+            else:
+                # bogus junk inside the tag: stdlib emits the raw
+                # slice as data (no charref decode)
+                endpos = j if j > i else i + 1
+                data(text[i:endpos])
+                i = endpos
+                continue
+            if endpos < 0:
+                k = -1
+            else:
+                tag = _tagfind.match(text, i + 1).group(1).lower()
+                if selfclose:
+                    p.handle_startendtag(tag, [])
+                else:
+                    starttag(tag, [])
+                    if tag in ("script", "style"):
+                        cdata_elem = tag
+                        cdata_close = _CDATA_CLOSE[tag]
+                k = endpos
+        elif text.startswith("</", i):
+            gm = _piclose.search(text, i + 1)  # the next '>'
+            if gm is None:
+                k = -1
+            else:
+                gtpos = gm.end()
+                em = _endtagfind.match(text, i)
+                if em is None:
+                    if cdata_elem is not None:
+                        data(text[i:gtpos])
+                        i = gtpos
+                        continue
+                    nm = _tagfind.match(text, i + 2)
+                    if nm is None:
+                        if text[i : i + 3] == "</>":
+                            k = i + 3
+                        else:  # bogus comment: consumed, no event
+                            e = find(">", i + 2)
+                            k = -1 if e < 0 else e + 1
+                    else:
+                        endtag(nm.group(1).lower())
+                        k = find(">", nm.end()) + 1  # stdlib gtpos+1
+                        if k == 0:  # no '>' after name: swallow rest
+                            k = n
+                else:
+                    elem = em.group(1).lower()
+                    if cdata_elem is not None and elem != cdata_elem:
+                        data(text[i:gtpos])
+                        i = gtpos
+                        continue
+                    endtag(elem)
+                    cdata_elem = cdata_close = None
+                    k = gtpos
+        elif text.startswith("<!--", i):
+            cm = _commentclose.search(text, i + 4)
+            k = -1 if cm is None else cm.end()
+        elif text.startswith("<?", i):
+            pm = _piclose.search(text, i + 2)
+            k = -1 if pm is None else pm.end()
+        elif text.startswith("<![", i):
+            if i + 3 == n:
+                k = -1  # '<![' at EOF: incomplete
+            elif _declname_match(text, i + 3) is None:
+                # stdlib's _scan_name error path (normalized by the
+                # _Extractor override to this exact ValueError)
+                raise ValueError("html: malformed marked section")
+            elif i + 3 + len(_declname_match(text, i + 3).group()) == n:
+                k = -1  # name runs to end of buffer
+            else:
+                nm = _declname_match(text, i + 3)
+                name = nm.group().lower().strip()
+                if name in _MARKED_STD:
+                    sm = _markedsectionclose.search(text, i + 3)
+                elif name in _MARKED_MS:
+                    sm = _msmarkedsectionclose.search(text, i + 3)
+                else:
+                    raise ValueError("html: malformed marked section")
+                k = -1 if sm is None else sm.end()
+        elif text.startswith("<!", i):
+            if text[i : i + 9].lower() == "<!doctype":
+                e = find(">", i + 9)
+                k = -1 if e < 0 else e + 1
+            else:  # bogus comment
+                e = find(">", i + 2)
+                k = -1 if e < 0 else e + 1
+        elif i + 1 < n:
+            data("<")
+            k = i + 1
+        else:
+            break
+        if k < 0:
+            # incomplete construct with end=1: goahead's fallback
+            k = find(">", i + 1)
+            if k < 0:
+                k = find("<", i + 1)
+                if k < 0:
+                    k = i + 1
+            else:
+                k += 1
+            seg = text[i:k]
+            if cdata_elem is None:
+                data(unescape(seg) if "&" in seg else seg)
+            else:
+                data(seg)
+        i = k
+    # goahead(end=1) tail flush (non-cdata only)
+    if i < n and cdata_elem is None:
+        seg = text[i:n]
+        data(unescape(seg) if "&" in seg else seg)
+
+
+def extract_html(html_bytes: bytes, *,
+                 tokenizer: str = "fast") -> tuple[str, list[dict]]:
     """Extract main content text + block spans from raw HTML bytes.
 
     Returns ``(text, spans)`` where spans is a list of dicts
     ``{block_id (1-based), start, end (byte offsets into UTF-8 text),
     tag}``. Raises on undecodable input (per-row ERROR path upstream).
+    ``tokenizer``: ``"fast"`` (default, ~2x) or ``"stdlib"`` (the
+    html.parser reference path both implementations must match).
     """
     text = html_bytes.decode("utf-8")  # strict: malformed bytes -> error row
     parser = _Extractor()
-    parser.feed(text)
-    parser.finish()
+    if tokenizer == "fast":
+        _fast_feed(text, parser)
+        parser._flush()
+    else:
+        parser.feed(text)
+        parser.finish()
 
     kept: list[tuple[str, str, int, int]] = []
     for block in parser.blocks:

@@ -148,7 +148,13 @@ def extract_rows(url: str, data: bytes) -> list[dict]:
                 "n_blocks": len(spans),
             }
         ]
-    except (ValueError, UnicodeDecodeError) as exc:
+    except Exception as exc:  # noqa: BLE001 - T7: per-row error capture
+        # ANY per-document failure becomes an ERROR row, never a task
+        # failure — the reference catches Exception around the whole
+        # page stage (/root/reference/app/worker.py:798-823); round 4
+        # widened this from (ValueError, UnicodeDecodeError) after
+        # finding stdlib html.parser can raise AssertionError on
+        # crafted marked sections, which would have killed the task.
         # error-prefix concat contract: "{prefix}: {exc}"
         # (/root/reference/app/worker.py:821)
         return [
