@@ -465,3 +465,40 @@ def test_run_dedup_job_end_to_end(spark):
     ids = sorted(r["doc_id"] for r in res.survivors.collect())
     assert ids == [1, 5, 6, 7]
     assert res.docs_out == 4
+
+
+def test_dedup_against_store_across_runs(spark, tmp_path):
+    """Cross-run incremental dedup: run 2 drops content the STORE has
+    seen (re-crawled under new ids), keeps fresh content, dedupes
+    within itself, and the store registration is idempotent on
+    re-run (crash-retry semantics)."""
+    from westa_ocr_spark.operators.dedup import dedup_against_store
+    from westa_ocr_spark.sources.tables import ParquetTable
+
+    store = ParquetTable(str(tmp_path / "fp_store"))
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], ["doc_id", "text"]
+    )
+    out1 = dedup_against_store(spark, b1, store)
+    assert {r["doc_id"] for r in out1.collect()} == {1, 2}
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "alpha text"),    # re-crawl of doc 1 -> dropped
+            (11, "gamma text"),    # fresh -> kept
+            (12, "gamma text"),    # in-batch dup -> min id wins
+            (13, "delta text"),    # fresh -> kept
+        ],
+        ["doc_id", "text"],
+    )
+    out2 = dedup_against_store(spark, b2, store)
+    assert {r["doc_id"] for r in out2.collect()} == {11, 13}
+
+    # crash-retry: re-running batch 2 returns the SAME survivors (its
+    # pairs are already registered, so the committed store recovers
+    # them) and the store still maps each fingerprint to its
+    # first-registered id — nothing double-admitted, nothing lost
+    out2b = dedup_against_store(spark, b2, store)
+    assert {r["doc_id"] for r in out2b.collect()} == {11, 13}
+    reg = {r["fp"]: r["doc_id"] for r in store.read(spark).collect()}
+    assert sorted(reg.values()) == [1, 2, 11, 13]

@@ -674,3 +674,52 @@ def line_corpus_dedup(docs: DataFrame, id_col: str = "doc_id",
             ).withColumn("text", F.lit(""))
         )
     )
+
+
+def dedup_against_store(spark, docs: DataFrame, store,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Cross-RUN exact dedup against a persistent fingerprint store
+    (round 4): the incremental form every growing corpus needs — each
+    ingest batch drops documents whose content was already committed
+    by ANY earlier run, dedupes within itself (min id wins), and
+    registers its survivors' fingerprints via the idempotent keyed
+    sink, so a crashed run re-registers safely (T4/T5 semantics).
+
+    100-TB shape: only (fp, doc_id) pairs ever shuffle — the store
+    scan reads the fingerprint column, the batch side reduces to one
+    16-byte hash per doc before the anti-join, and the surviving
+    PAYLOADS are selected by a gated-broadcast semi-join on ids (an
+    oversized survivor set falls back to a hash join, never an
+    unbounded broadcast).
+
+    ``store`` is any keyed table (ParquetTable locally, IcebergTable
+    on a cluster) holding columns ``(fp, doc_id)`` keyed by ``fp``.
+    """
+    fps = docs.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    canon = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    if store.exists():
+        known = store.read(spark).select("fp")
+        canon = canon.join(known, "fp", "left_anti")
+    # materialize BEFORE the merge swaps the store generation: the
+    # survivor plan must not lazily re-read files the commit deletes
+    canon = canon.localCheckpoint(eager=True)
+    # register FIRST, then derive the survivor set from the COMMITTED
+    # store: at-least-once crash-retry returns the exact same
+    # survivors (the retry's (fp, doc_id) pairs still match the rows
+    # this batch registered), never double-admits a duplicate, and
+    # never loses a batch whose commit landed before the crash
+    store.merge_upsert(spark, canon.select("fp", "doc_id"),
+                       keys=["fp"])
+    admitted = (
+        store.read(spark)
+        .join(fps, ["fp", "doc_id"], "left_semi")
+        .select(F.col("doc_id").alias("__surv_id"))
+    )
+    survivors = _gated_broadcast(admitted)
+    return docs.join(
+        survivors, F.col(id_col) == F.col("__surv_id"), "left_semi"
+    )

@@ -41,6 +41,55 @@ _SQL_EXACT_DEDUP = (
 )
 
 
+def _q_dedup_incremental(spark, sf):
+    """Cross-run exact dedup against a persistent fingerprint store:
+    run 1 ingests docs <300 (populating the store), run 2 ingests
+    fresh docs 300..500 PLUS a re-crawl of docs 100..200 under new
+    ids (same content). The re-crawl must be dropped by the STORE
+    (not batch-internal dedup) — the incremental-corpus-growth shape.
+    Returns run 2's surviving doc ids."""
+    import shutil
+    import tempfile
+
+    from westa_ocr_spark.operators.dedup import dedup_against_store
+    from westa_ocr_spark.sources.tables import ParquetTable
+
+    base = tempfile.gettempdir() + "/westa_q_dedup_store"
+    shutil.rmtree(base, ignore_errors=True)
+    store = ParquetTable(base)
+    docs = _t(spark, sf, "documents")
+    b1 = docs.filter(F.col("doc_id") < 300).select("doc_id", "text")
+    b2 = (
+        docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 500))
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
+            ).select(
+                (F.col("doc_id") + 500000).alias("doc_id"), "text"
+            )
+        )
+    )
+    dedup_against_store(spark, b1, store)
+    out = dedup_against_store(spark, b2, store)
+    return out.select("doc_id").orderBy("doc_id")
+
+
+_SQL_DEDUP_INCREMENTAL = (
+    f"WITH b1 AS (SELECT md5({_SQL_NORM.format(c='text')}) AS fp "
+    "FROM documents WHERE doc_id < 300), "
+    "b2 AS (SELECT doc_id, "
+    f"md5({_SQL_NORM.format(c='text')}) AS fp FROM ("
+    "SELECT doc_id, text FROM documents "
+    "WHERE doc_id >= 300 AND doc_id < 500 "
+    "UNION ALL SELECT doc_id + 500000, text FROM documents "
+    "WHERE doc_id >= 100 AND doc_id < 200)), "
+    "canon AS (SELECT fp, min(doc_id) AS doc_id FROM b2 GROUP BY fp) "
+    "SELECT doc_id FROM canon WHERE fp NOT IN (SELECT fp FROM b1) "
+    "ORDER BY doc_id"
+)
+
+
 def _q_minhash_signatures(spark, sf):
     return dedup.minhash_signatures(
         _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
@@ -240,4 +289,5 @@ DEFS = {
     "lsh_dup_candidates": (_q_lsh_dup_candidates, None),
     "dedup_keep_canonical": (_q_dedup_keep_canonical, _SQL_DEDUP_KEEP_CANONICAL),
     "line_dedup": (_q_line_dedup, _SQL_LINE_DEDUP),
+    "dedup_incremental": (_q_dedup_incremental, _SQL_DEDUP_INCREMENTAL),
 }

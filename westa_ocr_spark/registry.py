@@ -86,6 +86,7 @@ MANIFEST: list[str] = [
     "tpch_q21",
     "stream_stream_join",
     "bm25_search",
+    "dedup_incremental",
     # -- longest-unverified veterans (last driver row r1/r2) ----------
     "parse_details",
     "tpch_q1",
@@ -122,12 +123,13 @@ MANIFEST: list[str] = [
     "drive_id_normalize",
     "prompt_assembly",
     "base64_roundtrip",
-    "rollup_counts",
     # ======================= driver window boundary ==================
     # Below: r3-green unchanged queries (CORRECTNESS_r03 rows stand as
     # evidence) and the r1/r2 veterans next in rotation
-    # (pivot_event_types / set_ops joined the next-in-line list when
-    # stream_stream_join + bm25_search took their window slots).
+    # (rollup_counts / pivot_event_types / set_ops joined the
+    # next-in-line list when stream_stream_join + bm25_search +
+    # dedup_incremental took their window slots).
+    "rollup_counts",
     "pivot_event_types",
     "set_ops",
     "simhash16",
