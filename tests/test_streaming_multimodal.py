@@ -727,3 +727,45 @@ def test_media_features_query_covers_color_legs(spark):
         assert r["feature_sig"] and "|" in r["feature_sig"]
     err = by_url["doc://5"]
     assert err["status"] == "ERROR"
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """Round 4: DRI/RSTn restart intervals (the error-resilience
+    layout most camera/crawl JPEGs use) decode identically to the
+    non-restart encoding, for gray and both color subsamplings; a
+    corrupted RST index fails cleanly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from westa_ocr_spark.kernel.jpeg_mini import (
+        decode_jpeg,
+        decode_jpeg_gray,
+        write_jpeg_color,
+        write_jpeg_gray,
+    )
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    gray = np.clip(yy * 3 + xx * 2, 0, 255).astype(np.uint8)
+    base = decode_jpeg_gray(write_jpeg_gray(gray))
+    for ri in (1, 2, 5):
+        blob = write_jpeg_gray(gray, restart_interval=ri)
+        assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
+        assert (decode_jpeg_gray(blob) == base).all()
+
+    rgb = np.stack(
+        [np.clip(yy * 3 + 20, 0, 255), np.clip(xx * 2 + 40, 0, 255),
+         np.clip((xx + yy) * 2, 0, 255)], axis=2
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        cbase = decode_jpeg(write_jpeg_color(rgb, sub))
+        for ri in (1, 3):
+            out = decode_jpeg(
+                write_jpeg_color(rgb, sub, restart_interval=ri)
+            )
+            assert (out == cbase).all()
+
+    blob = bytearray(write_jpeg_gray(gray, restart_interval=2))
+    at = bytes(blob).find(b"\xff\xd0")
+    blob[at + 1] = 0xD5
+    with _pytest.raises(ValueError, match="restart"):
+        decode_jpeg_gray(bytes(blob))

@@ -146,7 +146,8 @@ class _BitWriter:
                 self.acc = 0
                 self.n = 0
 
-    def flush(self) -> bytes:
+    def pad(self) -> None:
+        """Byte-align by padding with 1-bits (T.81 F.1.2.3)."""
         if self.n:
             self.acc <<= (8 - self.n)
             self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s
@@ -155,6 +156,14 @@ class _BitWriter:
                 self.out.append(0x00)
             self.acc = 0
             self.n = 0
+
+    def restart(self, idx: int) -> None:
+        """Emit an RSTn marker (byte-aligned, unstuffed)."""
+        self.pad()
+        self.out += bytes([0xFF, 0xD0 + (idx & 7)])
+
+    def flush(self) -> bytes:
+        self.pad()
         return bytes(self.out)
 
 
@@ -230,8 +239,13 @@ def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
             + bytes(int(table.reshape(64)[_ZIGZAG[i]]) for i in range(64)))
 
 
-def write_jpeg_gray(pixels: np.ndarray) -> bytes:
-    """Encode an (h, w) uint8 array as baseline grayscale JFIF."""
+def write_jpeg_gray(pixels: np.ndarray,
+                    restart_interval: int = 0) -> bytes:
+    """Encode an (h, w) uint8 array as baseline grayscale JFIF.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every N MCUs (round 4 — the layout most camera/crawl JPEGs use
+    for error resilience)."""
     h, w = pixels.shape
     if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
         raise ValueError("jpeg: bad dimensions")
@@ -239,19 +253,27 @@ def write_jpeg_gray(pixels: np.ndarray) -> bytes:
                        (h + 7) // 8 * 8, (w + 7) // 8 * 8)
     bw = _BitWriter()
     prev_dc = 0
+    mcu = rst = 0
     for by in range(0, padded.shape[0], 8):
         for bx in range(0, padded.shape[1], 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.restart(rst)
+                rst += 1
+                prev_dc = 0
             prev_dc = _encode_block(
                 bw, padded[by : by + 8, bx : bx + 8], _QTABLE,
                 _DC_ENC, _AC_ENC, prev_dc,
             )
+            mcu += 1
     entropy = bw.flush()
     sof0 = (b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
             + b"\x01\x11\x00")
     dht = (_dht_segment(0x00, _DC_BITS, _DC_VALS)
            + _dht_segment(0x10, _AC_BITS, _AC_VALS))
+    dri = (b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+           if restart_interval else b"")
     sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
-    return (_jfif_headers(_dqt_segment(0, _QTABLE), sof0, dht, sos)
+    return (_jfif_headers(_dqt_segment(0, _QTABLE), sof0, dht + dri, sos)
             + entropy + b"\xff\xd9")
 
 
@@ -279,7 +301,8 @@ def _subsample2(plane: np.ndarray) -> np.ndarray:
             + p[1::2, 1::2]) / 4.0
 
 
-def write_jpeg_color(rgb: np.ndarray, subsampling: str = "420") -> bytes:
+def write_jpeg_color(rgb: np.ndarray, subsampling: str = "420",
+                     restart_interval: int = 0) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as baseline YCbCr JFIF.
 
     ``subsampling``: ``"420"`` (2x2 luma sampling, the common crawl
@@ -312,8 +335,14 @@ def write_jpeg_color(rgb: np.ndarray, subsampling: str = "420") -> bytes:
     n_mcu_y = yp.shape[0] // mcu_h
     bw = _BitWriter()
     dc = [0, 0, 0]
+    mcu = rst = 0
     for my in range(n_mcu_y):
         for mx in range(n_mcu_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.restart(rst)
+                rst += 1
+                dc = [0, 0, 0]
+            mcu += 1
             for v in range(vy):  # Y blocks of this MCU
                 for u in range(hy):
                     by = my * mcu_h + v * 8
@@ -336,10 +365,12 @@ def write_jpeg_color(rgb: np.ndarray, subsampling: str = "420") -> bytes:
            + _dht_segment(0x10, _AC_BITS, _AC_VALS)
            + _dht_segment(0x01, _DC_BITS_C, _DC_VALS_C)
            + _dht_segment(0x11, _AC_BITS_C, _AC_VALS_C))
+    dri = (b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+           if restart_interval else b"")
     sos = (b"\xff\xda" + struct.pack(">H", 12)
            + bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0x3F, 0]))
     dqt = _dqt_segment(0, _QTABLE) + _dqt_segment(1, _QTABLE_C)
-    return _jfif_headers(dqt, sof0, dht, sos) + entropy + b"\xff\xd9"
+    return _jfif_headers(dqt, sof0, dht + dri, sos) + entropy + b"\xff\xd9"
 
 
 class _BitReader:
@@ -375,6 +406,15 @@ class _BitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def sync_restart(self, idx: int) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.n = 0  # drop pad bits of the current byte
+        if (self.pos + 1 >= len(self.data)
+                or self.data[self.pos] != 0xFF
+                or self.data[self.pos + 1] != 0xD0 + (idx & 7)):
+            raise ValueError("jpeg: missing restart marker")
+        self.pos += 2
 
 
 def _huff_decode_table(bits: list[int], vals: list[int]) -> dict:
@@ -452,6 +492,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
     scan_map: dict[int, tuple[int, int]] = {}    # cid -> (td, ta)
     scan_at = None
+    restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: lost marker sync")
@@ -513,7 +554,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan_at = pos + 2 + seglen
             break
         elif marker == 0xDD:
-            raise ValueError("jpeg: restart intervals unsupported")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         pos += 2 + seglen
     if scan_at is None or h is None or not comps:
         raise ValueError("jpeg: missing SOS/SOF")
@@ -542,8 +583,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         plane_blocks.append([])
     dc = [0] * len(comps)
     block_pos: list[list[tuple[int, int]]] = [[] for _ in comps]
+    mcu = rst = 0
     for my in range(n_mcu_y):
         for mx in range(n_mcu_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.sync_restart(rst)
+                rst += 1
+                dc = [0] * len(comps)
+            mcu += 1
             for ci, (cid, hi, vi, _tq) in enumerate(comps):
                 dct, act, qt = tables[ci]
                 for v in range(vi):
