@@ -462,3 +462,97 @@ def test_aes256_v5_still_errors():
     bad = enc[:at] + b"/V 5 /R 6" + enc[at + len(b"/V 4 /R 4"):]
     with pytest.raises(ValueError, match="encrypted"):
         extract_pdf_pages(bad)
+
+
+# -- AES-256 (V5 AESV3) empty-user-password fixtures (round 4) ----------
+
+def _write_encrypted_pdf_v5(text, r=6):
+    """Independent V5 assembly: /U, /UE and the hardened-hash chain
+    written out here per ISO 32000-2 7.6.4.3.3/7.6.4.4.7 (only the
+    FIPS-197-pinned AES primitives are shared with the decryptor)."""
+    import hashlib
+
+    from westa_ocr_spark.kernel.pdf_core import (
+        _aes_cbc_encrypt,
+        _aes_cbc_encrypt_nopad,
+    )
+
+    def hash_2b(pwd, salt, udata):
+        k = hashlib.sha256(pwd + salt + udata).digest()
+        rounds = 0
+        while True:
+            k1 = (pwd + k + udata) * 64
+            e = _aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+            k = (hashlib.sha256, hashlib.sha384,
+                 hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+            rounds += 1
+            if rounds >= 64 and e[-1] <= rounds - 32:
+                return k[:32]
+
+    file_key = bytes(range(32))
+    vsalt, ksalt = b"VSALT000", b"KSALT000"
+    if r == 5:  # Acrobat 9 scheme: plain SHA-256
+        u = hashlib.sha256(b"" + vsalt).digest() + vsalt + ksalt
+        inter = hashlib.sha256(b"" + ksalt).digest()
+    else:
+        u = hash_2b(b"", vsalt, b"") + vsalt + ksalt
+        inter = hash_2b(b"", ksalt, b"")
+    ue = _aes_cbc_encrypt_nopad(inter, b"\x00" * 16, file_key)
+
+    content = b"BT /F1 12 Tf 72 720 Td (" + text.encode("latin-1") \
+        + b") Tj ET"
+    enc_content = _aes_cbc_encrypt(file_key, b"\x09" * 16, content)
+    objs = [
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+        b"endobj\n",
+        b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(enc_content), enc_content),
+        b"5 0 obj\n<< /Filter /Standard /V 5 /R %d /Length 256 "
+        b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+        b"/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+        b"/O <%s> /U <%s> /OE <%s> /UE <%s> /P -1 >>\nendobj\n"
+        % (r, b"00" * 48, u.hex().encode(), b"00" * 32,
+           ue.hex().encode()),
+    ]
+    body = b"%PDF-1.7\n" + b"".join(objs)
+    trailer = (
+        b"trailer\n<< /Size 6 /Root 1 0 R /Encrypt 5 0 R >>\n%%%%EOF\n"
+    )
+    return body + trailer
+
+
+@pytest.mark.parametrize("r", [5, 6])
+def test_empty_password_aes256_decrypts_byte_identically(r):
+    """Empty-user-password AES-256 documents (V5: R5 Acrobat-9 scheme
+    and R6 hardened hash) extract byte-identically to the plaintext
+    — the last encrypted class pypdf opens silently (round 4)."""
+    text = "the aes256 hidden page text"
+    enc = _write_encrypted_pdf_v5(text, r=r)
+    assert b"aes256 hidden" not in enc
+    assert extract_pdf_pages(enc) == [text]
+
+
+def test_writer_aes256_dialect_across_layouts():
+    """encrypt_pdf(aes256=True) on every writer dialect extracts
+    byte-identically to the plaintext twin (corpus v6 dialect)."""
+    from westa_ocr_spark.kernel.pdf_mini import encrypt_pdf
+
+    pages = ["Order V5\nline two", "second page\nmore text"]
+    for kw in ({}, {"compress": True},
+               {"objstm": True, "tj_arrays": True}):
+        plain = write_pdf(pages, **kw)
+        enc = encrypt_pdf(plain, aes256=True)
+        assert extract_pdf_pages(enc) == extract_pdf_pages(plain)
+        assert encrypt_pdf(plain, aes256=True) == enc
+
+
+def test_aes256_wrong_password_still_errors():
+    """A V5 document whose user password is NOT empty keeps the clean
+    ERROR path (the /U validation hash won't match)."""
+    enc = bytearray(_write_encrypted_pdf_v5("locked", r=6))
+    at = bytes(enc).find(b"/U <") + 4
+    enc[at : at + 8] = b"00000000"
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_pages(bytes(enc))

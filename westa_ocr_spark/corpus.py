@@ -36,7 +36,7 @@ OVERSIZED_BYTES = 256 * 1024
 
 # bump when the document grammar changes: cache directories derived
 # from the corpus must not survive a grammar change
-CORPUS_VERSION = 5
+CORPUS_VERSION = 6
 
 
 def _h(i: int, salt: str, seed: int = 42) -> bytes:
@@ -124,21 +124,20 @@ def make_html(i: int, seed: int = 42, oversized: bool = False) -> bytes:
 
 
 def make_pdf(i: int, seed: int = 42) -> bytes:
-    """PDF docs cycle through real-world dialects (corpus v5): classic
+    """PDF docs cycle through real-world dialects (corpus v6): classic
     uncompressed, FlateDecode'd, TJ-array show text, PDF 1.5
-    object-stream/xref-stream layouts, empty-user-password RC4
-    encrypted (standard handler R3), and — round 4 — AES-128
-    encrypted (V4/R4 AESV2 crypt filter) — so the pipeline's PDF path
-    is exercised against pypdf-class documents, including both
-    encrypted classes pypdf opens silently. Extracted text is
-    dialect-independent, so the pinned byte goldens hold across
-    corpus versions."""
+    object-stream/xref-stream layouts, and the three encrypted
+    empty-user-password classes pypdf opens silently — RC4 (R3),
+    AES-128 (V4/R4 AESV2) and AES-256 (V5/R6 AESV3, round 4) — so
+    the pipeline's PDF path is exercised against the full range of
+    pypdf-class documents. Extracted text is dialect-independent, so
+    the pinned byte goldens hold across corpus versions."""
     n_pages = 1 + _hint(i, "pp", 3, seed)  # 1..3 pages
     pages = [
         "\n".join(_sentence(i, p * 100 + line, 7, seed) for line in range(3))
         for p in range(n_pages)
     ]
-    dialect = _hint(i, "pd", 6, seed)
+    dialect = _hint(i, "pd", 7, seed)
     if dialect == 1:
         return write_pdf(pages, compress=True)
     if dialect == 2:
@@ -149,6 +148,8 @@ def make_pdf(i: int, seed: int = 42) -> bytes:
         return encrypt_pdf(write_pdf(pages, compress=True))
     if dialect == 5:
         return encrypt_pdf(write_pdf(pages, compress=True), aes=True)
+    if dialect == 6:
+        return encrypt_pdf(write_pdf(pages, compress=True), aes256=True)
     return write_pdf(pages)
 
 

@@ -391,10 +391,11 @@ _TRAILER = re.compile(rb"trailer")
 # -- standard security handler (empty user password) ---------------------
 # The reference's splitter (pypdf, /root/reference/requirements.txt)
 # transparently decrypts documents whose user password is empty; the
-# same is implementable pure-stdlib for the classic RC4 handler
-# (ISO 32000 7.6.3 algorithms 2-5, R2/R3) and — round 4 — the
-# AESV2 crypt filter (V4/R4, AES-128-CBC below). AES-256 (V5/R6)
-# stays unsupported and takes the ERROR path.
+# same is implementable pure-stdlib for every standard-handler
+# generation: classic RC4 (ISO 32000 7.6.3 algorithms 2-5, R2/R3),
+# AES-128 AESV2 (V4/R4, round 4) and AES-256 AESV3 (V5, R5 Acrobat-9
+# scheme and R6 ISO 32000-2 hardened hash — also round 4). Non-empty
+# passwords and non-standard crypt filters take the ERROR path.
 
 _PWD_PAD = bytes(
     (0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
@@ -560,6 +561,77 @@ def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
         )
         out += prev
     return bytes(out)
+
+
+def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC encrypt, no IV prefix, no padding (data % 16 == 0) —
+    the primitive ISO 32000-2's key wrapping and hash 2.B use."""
+    rk = _aes_expand_key(key)
+    prev = iv
+    out = bytearray()
+    for at in range(0, len(data), 16):
+        prev = _aes_encrypt_block(
+            rk, bytes(a ^ b for a, b in zip(data[at : at + 16], prev))
+        )
+        out += prev
+    return bytes(out)
+
+
+def _aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    rk = _aes_expand_key(key)
+    prev = iv
+    out = bytearray()
+    for at in range(0, len(data), 16):
+        blk = data[at : at + 16]
+        out += bytes(
+            a ^ b for a, b in zip(_aes_decrypt_block(rk, blk), prev)
+        )
+        prev = blk
+    return bytes(out)
+
+
+def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 algorithm 2.B (R6 hardened hash): iterated
+    SHA-256/384/512 keyed by an AES-128-CBC round, terminating after
+    >= 64 rounds when the last byte of E <= rounds - 32."""
+    import hashlib
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](
+            e
+        ).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _std_v5_file_key(enc: dict, password: bytes = b"") -> bytes | None:
+    """AES-256 standard handler (V5, R5 'AESV3'/Acrobat 9 or R6/
+    ISO 32000-2): validate the user password against /U and unwrap
+    the 32-byte file key from /UE. Returns None when the password
+    doesn't open the document."""
+    import hashlib
+
+    u = bytes(enc.get("U", b""))
+    ue = bytes(enc.get("UE", b""))
+    if len(u) < 48 or len(ue) < 32:
+        return None
+    vsalt, ksalt = u[32:40], u[40:48]
+    r = int(enc.get("R", 6))
+    if r == 5:  # Acrobat 9 scheme: plain SHA-256
+        valid = hashlib.sha256(password + vsalt).digest()
+        inter = hashlib.sha256(password + ksalt).digest()
+    else:
+        valid = _hash_2b(password, vsalt, b"")
+        inter = _hash_2b(password, ksalt, b"")
+    if valid != u[:32]:
+        return None
+    return _aes_cbc_decrypt_nopad(inter, b"\x00" * 16, ue[:32])
 
 
 def _std_file_key(enc: dict, id0: bytes, password: bytes = b"") -> bytes:
@@ -801,16 +873,18 @@ class PdfDocument:
         return enc, id0
 
     def _setup_decryption(self) -> None:
-        """Empty-user-password decrypt: RC4 (standard handler R2/R3)
-        and — round 4 — AES-128-CBC (V4/R4 with the AESV2 StdCF crypt
-        filter, the layout Acrobat 7+ writes).
+        """Empty-user-password decrypt: RC4 (standard handler R2/R3),
+        AES-128-CBC (V4/R4 AESV2, the Acrobat 7+ layout) and — round
+        4 — AES-256-CBC (V5 AESV3: R5 Acrobat-9 scheme and R6's
+        ISO 32000-2 hardened hash, with the file key unwrapped from
+        /UE).
 
         The reference's pypdf splitter opens such documents silently;
-        we do the same: derive the file key with the empty password,
-        verify it against /U, and decrypt every top-level stream in
-        place (XRef streams are never encrypted by spec; strings
-        outside content streams are left alone — text extraction reads
-        only content streams). Wrong password, AES-256 (V5), or
+        we do the same: derive/unwrap the file key with the empty
+        password, verify it against /U, and decrypt every top-level
+        stream in place (XRef streams are never encrypted by spec;
+        strings outside content streams are left alone — text
+        extraction reads only content streams). Wrong passwords and
         non-standard crypt filters leave the document encrypted and
         extraction takes the per-row ERROR path.
         """
@@ -823,29 +897,37 @@ class PdfDocument:
         if str(enc.get("Filter")) != "Standard":
             return
         v, r = int(enc.get("V", 0)), int(enc.get("R", 0))
-        aes = False
+        aes = v5 = False
         if v in (1, 2) and r in (2, 3):
             pass  # classic RC4 handler
-        elif v == 4 and r == 4:
-            # V4 names per-class crypt filters; support the single
-            # standard layout: StdCF for streams with CFM AESV2 (or
-            # V2 = RC4 under the V4 container)
+        elif (v == 4 and r == 4) or (v == 5 and r in (5, 6)):
+            # V4/V5 name per-class crypt filters; support the single
+            # standard layout: StdCF for streams with CFM AESV2
+            # (AES-128), AESV3 (AES-256, round 4) or V2 (RC4 under
+            # the V4 container)
             cf = enc.get("CF")
             stmf = str(enc.get("StmF", "Identity"))
             if not isinstance(cf, dict) or stmf != "StdCF":
                 return
             stdcf = cf.get("StdCF")
             cfm = str(stdcf.get("CFM")) if isinstance(stdcf, dict) else ""
-            if cfm == "AESV2":
+            if cfm == "AESV2" and v == 4:
                 aes = True
-            elif cfm != "V2":
+            elif cfm == "AESV3" and v == 5:
+                aes = v5 = True
+            elif not (cfm == "V2" and v == 4):
                 return
         else:
-            return  # AES-256 / unknown revisions: stays encrypted
+            return  # unknown revisions: stays encrypted
         try:
-            key = _std_file_key(enc, id0)
-            if not _std_user_check(enc, id0, key):
-                return  # a real (non-empty) user password
+            if v5:
+                key = _std_v5_file_key(enc)
+                if key is None:
+                    return  # a real (non-empty) user password
+            else:
+                key = _std_file_key(enc, id0)
+                if not _std_user_check(enc, id0, key):
+                    return  # a real (non-empty) user password
         except (ValueError, TypeError):
             return
         enc_num = enc_ref.num if isinstance(enc_ref, Ref) else None
@@ -854,8 +936,10 @@ class PdfDocument:
                 continue
             if val.dict.get("Type") == Name("XRef"):
                 continue  # xref streams are never encrypted
-            okey = _std_object_key(key, num, self.gens.get(num, 0),
-                                   aes=aes)
+            # V5: the file key encrypts every object directly (no
+            # per-object derivation); V1-V4: algorithm 1 per object
+            okey = (key if v5 else _std_object_key(
+                key, num, self.gens.get(num, 0), aes=aes))
             try:
                 plain = (_aes_cbc_decrypt(okey, val.raw) if aes
                          else _rc4(okey, val.raw))

@@ -247,7 +247,7 @@ def _write_pdf_objstm(pages: list[str], tj_arrays: bool) -> bytes:
 
 
 def encrypt_pdf(data: bytes, *, r: int = 3, length: int = 128,
-                aes: bool = False) -> bytes:
+                aes: bool = False, aes256: bool = False) -> bytes:
     """Encrypt a written PDF with the standard handler and an EMPTY
     user password (the document class pypdf opens silently; our
     reader decrypts it via ``pdf_core._setup_decryption``).
@@ -268,15 +268,42 @@ def encrypt_pdf(data: bytes, *, r: int = 3, length: int = 128,
 
     from westa_ocr_spark.kernel.pdf_core import (
         _aes_cbc_encrypt,
+        _aes_cbc_encrypt_nopad,
+        _aes_encrypt_block,
+        _aes_expand_key,
+        _hash_2b,
         _rc4,
         _std_object_key,
         make_standard_encryption,
     )
 
-    if aes:
-        r, length = 4, 128
     id0 = hashlib.md5(data).digest()
-    o, u, key = make_standard_encryption(r, length, id0)
+    if aes256:
+        # ISO 32000-2 V5/R6 (AESV3): 32-byte file key wrapped via the
+        # hardened hash; every salt derives from the plaintext digest
+        # so the corpus stays deterministic
+        aes = True
+        seed = hashlib.sha256(b"westa-v5:" + id0).digest()
+        key = hashlib.sha256(b"westa-key:" + id0).digest()  # file key
+        vsalt, ksalt = seed[:8], seed[8:16]
+        u = (_hash_2b(b"", vsalt, b"") + vsalt + ksalt)
+        ue = _aes_cbc_encrypt_nopad(
+            _hash_2b(b"", ksalt, b""), b"\x00" * 16, key
+        )
+        o_vsalt, o_ksalt = seed[16:24], seed[24:32]
+        o = _hash_2b(b"", o_vsalt, u) + o_vsalt + o_ksalt
+        oe = _aes_cbc_encrypt_nopad(
+            _hash_2b(b"", o_ksalt, u), b"\x00" * 16, key
+        )
+        perms = _aes_encrypt_block(
+            _aes_expand_key(key),
+            (0xFFFFFFFF).to_bytes(4, "little") + b"\xff\xff\xff\xff"
+            + b"Tadb" + seed[:4],
+        )
+    else:
+        if aes:
+            r, length = 4, 128
+        o, u, key = make_standard_encryption(r, length, id0)
 
     out = bytearray()
     last = 0
@@ -301,7 +328,9 @@ def encrypt_pdf(data: bytes, *, r: int = 3, length: int = 128,
             payload, tail = payload[:-1], b"\n"
         else:
             tail = b""
-        okey = _std_object_key(key, num, gen, aes=aes)
+        # V5 uses the file key directly; V1-V4 derive per object
+        okey = (key if aes256
+                else _std_object_key(key, num, gen, aes=aes))
         if aes:
             iv = hashlib.md5(
                 id0 + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
@@ -320,7 +349,16 @@ def encrypt_pdf(data: bytes, *, r: int = 3, length: int = 128,
         last = e
     out += data[last:]
     enc_num = max_obj + 1
-    if aes:
+    if aes256:
+        enc_body = (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+            b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+            b"/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+            b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> /P -1 >>"
+            % (o.hex().encode(), u.hex().encode(), oe.hex().encode(),
+               ue.hex().encode(), perms.hex().encode())
+        )
+    elif aes:
         enc_body = (
             b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
             b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
