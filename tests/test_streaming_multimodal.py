@@ -313,10 +313,16 @@ def test_jpeg_codec_roundtrip_bounds():
 
     with _pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg_gray(b"\x89PNG....")
-    # progressive SOF2 rejected cleanly
+    # SOF2 accepted since round 4 (progressive support): a baseline
+    # stream relabeled progressive decodes identically under the
+    # unified coefficient-domain executor
     blob = write_jpeg_gray(flat).replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with _pytest.raises(ValueError, match="baseline"):
-        decode_jpeg_gray(blob)
+    assert (decode_jpeg_gray(blob) == decode_jpeg_gray(
+        write_jpeg_gray(flat))).all()
+    # lossless/arithmetic SOF markers still rejected cleanly
+    blob2 = write_jpeg_gray(flat).replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with _pytest.raises(ValueError, match="SOF0/SOF2"):
+        decode_jpeg_gray(blob2)
 
 
 def test_jpeg_features_are_real_pixel_stats():
@@ -720,12 +726,12 @@ def test_media_features_query_covers_color_legs(spark):
 
     rows = _q_media_features(spark, "/root/testdata/sf0.001").collect()
     by_url = {r["url"]: r for r in rows}
-    color_420 = by_url["doc://3"]  # i%6==3 -> 420 leg
-    color_444 = by_url["doc://4"]
-    for r in (color_420, color_444):
-        assert r["status"] == "DONE" and r["kind"] == "jpeg"
+    # i%8: 3=420 color, 4=444 color, 5=progressive color, 6=restart
+    for u in ("doc://3", "doc://4", "doc://5", "doc://6"):
+        r = by_url[u]
+        assert r["status"] == "DONE" and r["kind"] == "jpeg", u
         assert r["feature_sig"] and "|" in r["feature_sig"]
-    err = by_url["doc://5"]
+    err = by_url["doc://7"]
     assert err["status"] == "ERROR"
 
 
@@ -769,3 +775,46 @@ def test_jpeg_restart_markers_roundtrip():
     blob[at + 1] = 0xD5
     with _pytest.raises(ValueError, match="restart"):
         decode_jpeg_gray(bytes(blob))
+
+
+def test_progressive_jpeg_decodes_identical_to_baseline():
+    """Round 4: progressive (SOF2, spectral selection + successive
+    approximation) decodes to PIXEL-IDENTICAL output vs the baseline
+    encoding of the same image — SA/SS losslessly reconstruct the
+    same quantized coefficients. Covers gray, 4:4:4 and 4:2:0, plus
+    noise (stresses correction bits) and sparse content (stresses
+    ZRL/EOB runs)."""
+    import numpy as np
+
+    from westa_ocr_spark.kernel.jpeg_mini import (
+        decode_jpeg,
+        write_jpeg_color,
+        write_jpeg_gray,
+        write_jpeg_progressive,
+    )
+
+    yy, xx = np.mgrid[0:41, 0:53]
+    gray = np.clip(yy * 3 + xx * 2, 0, 255).astype(np.uint8)
+    assert (decode_jpeg(write_jpeg_progressive(gray))
+            == decode_jpeg(write_jpeg_gray(gray))).all()
+
+    rgb = np.stack(
+        [np.clip(yy * 3 + 20, 0, 255), np.clip(xx * 2 + 40, 0, 255),
+         np.clip((xx + yy) * 2, 0, 255)], axis=2
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        assert (decode_jpeg(write_jpeg_progressive(rgb, sub))
+                == decode_jpeg(write_jpeg_color(rgb, sub))).all()
+
+    rng = np.random.RandomState(7)
+    noise_g = rng.randint(0, 256, (37, 29)).astype(np.uint8)
+    assert (decode_jpeg(write_jpeg_progressive(noise_g))
+            == decode_jpeg(write_jpeg_gray(noise_g))).all()
+    noise_c = rng.randint(0, 256, (22, 46, 3)).astype(np.uint8)
+    assert (decode_jpeg(write_jpeg_progressive(noise_c, "420"))
+            == decode_jpeg(write_jpeg_color(noise_c, "420"))).all()
+
+    sparse = np.full((64, 64), 128, np.uint8)
+    sparse[::16, ::16] = 255
+    assert (decode_jpeg(write_jpeg_progressive(sparse))
+            == decode_jpeg(write_jpeg_gray(sparse))).all()

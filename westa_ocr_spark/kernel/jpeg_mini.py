@@ -373,6 +373,229 @@ def write_jpeg_color(rgb: np.ndarray, subsampling: str = "420",
     return _jfif_headers(dqt, sof0, dht + dri, sos) + entropy + b"\xff\xd9"
 
 
+# -- progressive encoder (round 4) --------------------------------------
+# Emits SOF2 files with the scan script libjpeg uses in spirit:
+# interleaved DC first pass at Al=1, DC refinement, then per-component
+# AC spectral scans (1..63) at Al=1 followed by AC refinement to
+# Al=0. Successive approximation is LOSSLESS over the quantized
+# coefficients, so a progressive encoding decodes to pixels identical
+# to the baseline encoding of the same image (tested).
+
+
+def _quant_grid(plane: np.ndarray, qtable: np.ndarray, bh: int,
+                bw: int) -> np.ndarray:
+    """Quantized coefficient grid (bh, bw, 64) in natural order from
+    a level-shifted float plane of exactly (bh*8, bw*8)."""
+    out = np.zeros((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            q = np.round((_C @ block @ _C.T) / qtable).astype(np.int64)
+            out[by, bx] = q.reshape(64)
+    return out
+
+
+def _enc_dc_first(bw_, grid_block, dc_enc, al, pred):
+    dc = int(grid_block[0]) >> al  # arithmetic shift (T.81 DC PT)
+    cat, bits = _magnitude(dc - pred)
+    c, ln = dc_enc[cat]
+    bw_.put(c, ln)
+    if cat:
+        bw_.put(bits, cat)
+    return dc
+
+
+def _enc_ac_first(bw_, grid_block, ac_enc, al):
+    run = 0
+    for k in range(1, 64):
+        v = int(grid_block[_ZIGZAG[k]])
+        a = abs(v) >> al  # magnitude shift (T.81 AC PT)
+        if a == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_enc[0xF0]
+            bw_.put(c, ln)
+            run -= 16
+        cat, bits = _magnitude(a if v > 0 else -a)
+        c, ln = ac_enc[(run << 4) | cat]
+        bw_.put(c, ln)
+        bw_.put(bits, cat)
+        run = 0
+    if run:
+        c, ln = ac_enc[0x00]  # EOB
+        bw_.put(c, ln)
+
+
+def _enc_ac_refine(bw_, grid_block, ac_enc, al):
+    """AC refinement scan for one block (target Al, previous Al+1):
+    newly-significant coefficients emit (run|1)+sign; already-
+    significant ones emit buffered correction bits in the exact
+    positional order the decoder consumes them (libjpeg's BE-buffer
+    discipline)."""
+    absv = [0] * 64
+    vals = [0] * 64
+    last_new = 0
+    for k in range(1, 64):
+        v = int(grid_block[_ZIGZAG[k]])
+        vals[k] = v
+        absv[k] = abs(v) >> al
+        if absv[k] == 1:
+            last_new = k
+    run = 0
+    pending: list[int] = []
+
+    def _flush() -> None:
+        for b in pending:
+            bw_.put(b, 1)
+        pending.clear()
+
+    for k in range(1, 64):
+        a = absv[k]
+        if a == 0:
+            run += 1
+            continue
+        while run > 15 and k <= last_new:
+            c, ln = ac_enc[0xF0]
+            bw_.put(c, ln)
+            run -= 16
+            _flush()
+        if a > 1:  # significant in the previous pass: correction bit
+            pending.append(a & 1)
+            continue
+        c, ln = ac_enc[(run << 4) | 1]
+        bw_.put(c, ln)
+        bw_.put(1 if vals[k] > 0 else 0, 1)
+        _flush()
+        run = 0
+    if run or pending:
+        c, ln = ac_enc[0x00]  # EOB: remaining corrections follow
+        bw_.put(c, ln)
+        _flush()
+
+
+def write_jpeg_progressive(pixels: np.ndarray,
+                           subsampling: str = "420") -> bytes:
+    """Encode a progressive (SOF2) JFIF with spectral selection and
+    successive approximation: (h, w) uint8 grayscale, or (h, w, 3)
+    uint8 RGB with 4:2:0 / 4:4:4 chroma subsampling."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
+        raise ValueError("jpeg: bad dimensions")
+    if gray:
+        samps = [(1, 1)]
+        qts = [_QTABLE]
+        planes = [pixels.astype(np.float64)]
+    else:
+        if subsampling not in ("420", "444"):
+            raise ValueError("jpeg: subsampling must be '420' or '444'")
+        y, cb, cr = _rgb_to_ycbcr(pixels)
+        if subsampling == "420":
+            samps = [(2, 2), (1, 1), (1, 1)]
+            cb, cr = _subsample2(cb), _subsample2(cr)
+        else:
+            samps = [(1, 1), (1, 1), (1, 1)]
+        qts = [_QTABLE, _QTABLE_C, _QTABLE_C]
+        planes = [y, cb, cr]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    n_mcu_x = (w + 8 * hmax - 1) // (8 * hmax)
+    n_mcu_y = (h + 8 * vmax - 1) // (8 * vmax)
+    grids: list[np.ndarray] = []
+    real_dims: list[tuple[int, int]] = []
+    for (hi, vi), qt, plane in zip(samps, qts, planes):
+        bh, bw_n = n_mcu_y * vi, n_mcu_x * hi
+        padded = _pad_edge(plane, bh * 8, bw_n * 8)
+        grids.append(_quant_grid(padded, qt, bh, bw_n))
+        ch = (h * vi + vmax - 1) // vmax
+        cw = (w * hi + hmax - 1) // hmax
+        real_dims.append(((ch + 7) // 8, (cw + 7) // 8))
+    ncomp = len(grids)
+    dc_encs = [_DC_ENC] + [_DC_ENC_C] * (ncomp - 1)
+    ac_encs = [_AC_ENC] + [_AC_ENC_C] * (ncomp - 1)
+
+    def _sos(comp_specs: list[tuple[int, int, int]], ss: int, se: int,
+             ah: int, al: int) -> bytes:
+        body = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    scans = bytearray()
+    # scan 1: DC first (interleaved, Al=1)
+    bw_ = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(n_mcu_y):
+        for mx in range(n_mcu_x):
+            for ci, (hi, vi) in enumerate(samps):
+                for v in range(vi):
+                    for u in range(hi):
+                        preds[ci] = _enc_dc_first(
+                            bw_, grids[ci][my * vi + v, mx * hi + u],
+                            dc_encs[ci], 1, preds[ci],
+                        )
+    scans += _sos(
+        [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)],
+        0, 0, 0, 1,
+    ) + bw_.flush()
+    # scan 2: DC refinement (bits only, no tables consulted)
+    bw_ = _BitWriter()
+    for my in range(n_mcu_y):
+        for mx in range(n_mcu_x):
+            for ci, (hi, vi) in enumerate(samps):
+                for v in range(vi):
+                    for u in range(hi):
+                        bw_.put(
+                            int(grids[ci][my * vi + v, mx * hi + u][0])
+                            & 1, 1,
+                        )
+    scans += _sos(
+        [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)],
+        0, 0, 1, 0,
+    ) + bw_.flush()
+    # per-component AC scans: first pass at Al=1, then refinement
+    for ci in range(ncomp):
+        bh, bw_n = real_dims[ci]
+        bw_ = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw_n):
+                _enc_ac_first(bw_, grids[ci][by, bx], ac_encs[ci], 1)
+        scans += _sos(
+            [(ci + 1, 0, 0 if ci == 0 else 1)], 1, 63, 0, 1
+        ) + bw_.flush()
+    for ci in range(ncomp):
+        bh, bw_n = real_dims[ci]
+        bw_ = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw_n):
+                _enc_ac_refine(bw_, grids[ci][by, bx], ac_encs[ci], 0)
+        scans += _sos(
+            [(ci + 1, 0, 0 if ci == 0 else 1)], 1, 63, 1, 0
+        ) + bw_.flush()
+
+    if gray:
+        sof2 = (b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+                + b"\x01\x11\x00")
+        dqt = _dqt_segment(0, _QTABLE)
+        dht = (_dht_segment(0x00, _DC_BITS, _DC_VALS)
+               + _dht_segment(0x10, _AC_BITS, _AC_VALS))
+    else:
+        samp_y = (samps[0][0] << 4) | samps[0][1]
+        sof2 = (b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+                + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]))
+        dqt = _dqt_segment(0, _QTABLE) + _dqt_segment(1, _QTABLE_C)
+        dht = (_dht_segment(0x00, _DC_BITS, _DC_VALS)
+               + _dht_segment(0x10, _AC_BITS, _AC_VALS)
+               + _dht_segment(0x01, _DC_BITS_C, _DC_VALS_C)
+               + _dht_segment(0x11, _AC_BITS_C, _AC_VALS_C))
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    return (b"\xff\xd8" + app0 + dqt + sof2 + dht + bytes(scans)
+            + b"\xff\xd9")
+
+
 class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -477,11 +700,118 @@ def _decode_block(br: _BitReader, dct: dict, act: dict, qt: np.ndarray,
     return q.reshape(8, 8) * qt, prev_dc
 
 
+# -- scan executor (shared by baseline and progressive, round 4) --------
+# Decoding happens in the COEFFICIENT domain: every scan (a baseline
+# file has one full-range scan; a progressive file has many partial
+# ones — DC/AC spectral bands at successive approximation levels)
+# accumulates into per-component int coefficient grids, and a single
+# dequantize+IDCT pass at the end renders pixels. T.81 sections F.2
+# (sequential) and G.2 (progressive).
+
+
+def _coef_block_first(br, cof, dct, act, ss, se, al, dcpred, eobrun):
+    """First-pass (Ah=0) decode of one block's [ss, se] band."""
+    if ss == 0:
+        cat = _read_symbol(br, dct)
+        diff = _extend(br.bits(cat), cat) if cat else 0
+        dcpred += diff
+        cof[0] = dcpred << al
+        k = 1
+    else:
+        k = ss
+    if k <= se:
+        if eobrun > 0:
+            return dcpred, eobrun - 1
+        while k <= se:
+            sym = _read_symbol(br, act)
+            run, cat = sym >> 4, sym & 0x0F
+            if cat == 0:
+                if run != 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += br.bits(run)
+                    return dcpred, eobrun - 1
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > se:
+                raise ValueError("jpeg: AC coefficient overflow")
+            cof[_ZIGZAG[k]] = _extend(br.bits(cat), cat) << al
+            k += 1
+    return dcpred, eobrun
+
+
+def _coef_block_refine(br, cof, act, ss, se, al, eobrun):
+    """Refinement-pass (Ah>0) decode of one block's [ss, se] band
+    (T.81 G.2; the correction-bit interleave follows the spec's
+    decode order)."""
+    p1 = 1 << al
+    m1 = -p1
+    if ss == 0:  # DC refinement: one appended bit
+        if br.bit():
+            cof[0] |= p1
+        return eobrun
+    k = ss
+    if eobrun > 0:
+        eobrun -= 1
+    else:
+        while k <= se:
+            sym = _read_symbol(br, act)
+            run, cat = sym >> 4, sym & 0x0F
+            val = 0
+            if cat:
+                if cat != 1:
+                    raise ValueError("jpeg: bad AC refinement symbol")
+                val = p1 if br.bit() else m1
+            elif run != 15:
+                eobrun = 1 << run
+                if run:
+                    eobrun += br.bits(run)
+                eobrun -= 1  # this block consumes one
+                break
+            while k <= se:
+                z = _ZIGZAG[k]
+                if cof[z]:
+                    if br.bit() and (cof[z] & p1) == 0:
+                        cof[z] += p1 if cof[z] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                cof[_ZIGZAG[k]] = val
+            k += 1
+    while k <= se:  # EOB-run tail: corrections for remaining nonzeros
+        z = _ZIGZAG[k]
+        if cof[z]:
+            if br.bit() and (cof[z] & p1) == 0:
+                cof[z] += p1 if cof[z] >= 0 else m1
+        k += 1
+    return eobrun
+
+
+def _scan_end(data: bytes, start: int) -> int:
+    """End of an entropy-coded segment: the next marker that is not
+    byte stuffing (FF00) or a restart (FFD0-FFD7)."""
+    pos = start
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00,) and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return n
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG: (h, w) uint8 for grayscale files,
-    (h, w, 3) uint8 RGB for 3-component YCbCr files (sampling factors
-    up to 2x2: 4:4:4, 4:2:0, 4:2:2; nearest-neighbor chroma
-    upsampling, BT.601 conversion)."""
+    """Decode a baseline (SOF0) or progressive (SOF2, round 4) JPEG:
+    (h, w) uint8 for grayscale files, (h, w, 3) uint8 RGB for
+    3-component YCbCr files (sampling factors up to 2x2: 4:4:4,
+    4:2:0, 4:2:2; nearest-neighbor chroma upsampling, BT.601).
+    Progressive support covers spectral selection AND successive
+    approximation, with restart intervals in any scan."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -490,15 +820,31 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     ac_tables: dict[int, dict] = {}
     h = w = None
     comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
-    scan_map: dict[int, tuple[int, int]] = {}    # cid -> (td, ta)
-    scan_at = None
     restart_interval = 0
-    while pos + 4 <= len(data):
+    coefs: list[np.ndarray] = []  # per comp: (bh_pad, bw_pad, 64)
+    n_mcu_x = n_mcu_y = 0
+    hmax = vmax = 1
+    saw_scan = False
+
+    def _init_frame() -> None:
+        nonlocal n_mcu_x, n_mcu_y, hmax, vmax
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        n_mcu_x = (w + 8 * hmax - 1) // (8 * hmax)
+        n_mcu_y = (h + 8 * vmax - 1) // (8 * vmax)
+        for _cid, hi, vi, _tq in comps:
+            coefs.append(np.zeros(
+                (n_mcu_y * vi, n_mcu_x * hi, 64), dtype=np.int64
+            ))
+
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: lost marker sync")
         marker = data[pos + 1]
         if marker == 0xD9:
             break
+        if pos + 4 > len(data):
+            raise ValueError("jpeg: truncated marker segment")
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:
@@ -513,7 +859,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 )
                 qtables[pq_tq & 0x0F] = tbl.reshape(8, 8)
                 at += 65
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
             _prec, hh, ww, ncomp = struct.unpack(">BHHB", body[:6])
             if ncomp not in (1, 3):
                 raise ValueError("jpeg: 1 or 3 components only")
@@ -527,9 +873,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise ValueError("jpeg: sampling factors above 2x2")
                 comps.append((cid, hi, vi, body[8 + 3 * ci]))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            _init_frame()
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: only baseline SOF0 supported")
+            raise ValueError("jpeg: only SOF0/SOF2 supported")
         elif marker == 0xC4:
             at = 0
             while at < len(body):
@@ -544,72 +891,53 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     dc_tables[tc_th & 0x0F] = tbl
                 at += 17 + nv
         elif marker == 0xDA:
+            if h is None:
+                raise ValueError("jpeg: SOS before SOF")
             ns = body[0]
-            if ns != len(comps):
-                raise ValueError("jpeg: multi-scan files unsupported")
+            scan_comps: list[tuple[int, dict | None, dict | None]] = []
+            cid_index = {c[0]: i for i, c in enumerate(comps)}
             for si in range(ns):
                 cid = body[1 + 2 * si]
                 tda = body[2 + 2 * si]
-                scan_map[cid] = (tda >> 4, tda & 0x0F)
-            scan_at = pos + 2 + seglen
-            break
+                if cid not in cid_index:
+                    raise ValueError("jpeg: SOS names unknown component")
+                scan_comps.append(
+                    (cid_index[cid], dc_tables.get(tda >> 4),
+                     ac_tables.get(tda & 0x0F))
+                )
+            ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            ent_start = pos + 2 + seglen
+            ent_end = _scan_end(data, ent_start)
+            _run_scan(
+                _BitReader(data[ent_start:ent_end]), scan_comps,
+                comps, coefs, ss, se, ah, al, restart_interval,
+                n_mcu_x, n_mcu_y, h, w, hmax, vmax,
+            )
+            saw_scan = True
+            pos = ent_end
+            continue
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
         pos += 2 + seglen
-    if scan_at is None or h is None or not comps:
+    if not saw_scan or h is None:
         raise ValueError("jpeg: missing SOS/SOF")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    end = data.rfind(b"\xff\xd9")
-    br = _BitReader(data[scan_at : end if end > scan_at else len(data)])
-    n_mcu_x = (w + 8 * hmax - 1) // (8 * hmax)
-    n_mcu_y = (h + 8 * vmax - 1) // (8 * vmax)
-    planes: list[np.ndarray] = []
-    plane_blocks: list[list] = []
-    tables: list[tuple[dict, dict, np.ndarray]] = []
-    for cid, hi, vi, tq in comps:
-        if cid not in scan_map:
-            raise ValueError("jpeg: SOS omits a frame component")
-        td, ta = scan_map[cid]
-        qt = qtables.get(tq)
-        dct = dc_tables.get(td)
-        act = ac_tables.get(ta)
-        if qt is None or dct is None or act is None:
-            raise ValueError("jpeg: missing tables")
-        tables.append((dct, act, qt))
-        planes.append(np.zeros(
-            (n_mcu_y * vi * 8, n_mcu_x * hi * 8), dtype=np.float64
-        ))
-        plane_blocks.append([])
-    dc = [0] * len(comps)
-    block_pos: list[list[tuple[int, int]]] = [[] for _ in comps]
-    mcu = rst = 0
-    for my in range(n_mcu_y):
-        for mx in range(n_mcu_x):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                br.sync_restart(rst)
-                rst += 1
-                dc = [0] * len(comps)
-            mcu += 1
-            for ci, (cid, hi, vi, _tq) in enumerate(comps):
-                dct, act, qt = tables[ci]
-                for v in range(vi):
-                    for u in range(hi):
-                        blk, dc[ci] = _decode_block(
-                            br, dct, act, qt, dc[ci]
-                        )
-                        plane_blocks[ci].append(blk)
-                        block_pos[ci].append(
-                            ((my * vi + v) * 8, (mx * hi + u) * 8)
-                        )
     out_planes: list[np.ndarray] = []
-    for ci, (cid, hi, vi, _tq) in enumerate(comps):
-        blocks = np.stack(plane_blocks[ci])
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        qt = qtables.get(tq)
+        if qt is None:
+            raise ValueError("jpeg: missing tables")
+        grid = coefs[ci]
+        bh, bw_ = grid.shape[:2]
+        blocks = (
+            grid.reshape(bh * bw_, 8, 8).astype(np.float64)
+            * qt[np.newaxis, :, :]
+        )
         spatial = np.einsum("ux,nuv,vy->nxy", _C, blocks, _C) + 128.0
-        plane = planes[ci]
-        for bi, (by, bx) in enumerate(block_pos[ci]):
-            plane[by : by + 8, bx : bx + 8] = spatial[bi]
-        # crop to the component's true dims, then upsample to full res
+        plane = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+        for bi in range(bh * bw_):
+            by, bx = divmod(bi, bw_)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial[bi]
         ch = (h * vi + vmax - 1) // vmax
         cw = (w * hi + hmax - 1) // hmax
         plane = plane[:ch, :cw]
@@ -628,6 +956,73 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _run_scan(br, scan_comps, comps, coefs, ss, se, ah, al,
+              restart_interval, n_mcu_x, n_mcu_y, h, w, hmax,
+              vmax) -> None:
+    """Execute one entropy-coded scan into the coefficient grids."""
+    interleaved = len(scan_comps) > 1
+    dcpred = [0] * len(comps)
+    eobrun = 0
+    unit = rst = 0
+
+    def _restart_check() -> None:
+        nonlocal unit, rst, dcpred, eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            br.sync_restart(rst)
+            rst += 1
+            dcpred = [0] * len(comps)
+            eobrun = 0
+        unit += 1
+
+    if interleaved:
+        for my in range(n_mcu_y):
+            for mx in range(n_mcu_x):
+                _restart_check()
+                for ci, dct, act in scan_comps:
+                    _cid, hi, vi, _tq = comps[ci]
+                    if ss == 0 and ah == 0 and dct is None:
+                        raise ValueError("jpeg: missing tables")
+                    for v in range(vi):
+                        for u in range(hi):
+                            cof = coefs[ci][my * vi + v, mx * hi + u]
+                            if ah == 0:
+                                if se > 0 and act is None:
+                                    raise ValueError(
+                                        "jpeg: missing tables")
+                                dcpred[ci], eobrun = _coef_block_first(
+                                    br, cof, dct, act, ss, se, al,
+                                    dcpred[ci], eobrun,
+                                )
+                            else:
+                                eobrun = _coef_block_refine(
+                                    br, cof, act, ss, se, al, eobrun
+                                )
+    else:
+        ci, dct, act = scan_comps[0]
+        _cid, hi, vi, _tq = comps[ci]
+        # non-interleaved scans cover the component's REAL block grid
+        ch = (h * vi + vmax - 1) // vmax
+        cw = (w * hi + hmax - 1) // hmax
+        bh, bw_ = (ch + 7) // 8, (cw + 7) // 8
+        if ss > 0 and act is None:
+            raise ValueError("jpeg: missing tables")
+        if ss == 0 and ah == 0 and dct is None:
+            raise ValueError("jpeg: missing tables")
+        for by in range(bh):
+            for bx in range(bw_):
+                _restart_check()
+                cof = coefs[ci][by, bx]
+                if ah == 0:
+                    dcpred[ci], eobrun = _coef_block_first(
+                        br, cof, dct, act, ss, se, al, dcpred[ci],
+                        eobrun,
+                    )
+                else:
+                    eobrun = _coef_block_refine(
+                        br, cof, act, ss, se, al, eobrun
+                    )
 
 
 def decode_jpeg_gray(data: bytes) -> np.ndarray:

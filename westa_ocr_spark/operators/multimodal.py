@@ -171,6 +171,28 @@ def write_jpeg(width: int, height: int) -> bytes:
     return write_jpeg_gray(pixels)
 
 
+def write_jpeg_progressive_rgb(width: int, height: int,
+                               subsampling: str = "420") -> bytes:
+    """REAL progressive (SOF2) color JPEG (round 4): spectral
+    selection + successive approximation scans over the same
+    deterministic gradient as :func:`write_jpeg_rgb` — decodes
+    pixel-identically to the baseline encoding."""
+    import numpy as np
+
+    from westa_ocr_spark.kernel.jpeg_mini import write_jpeg_progressive
+
+    y, x = np.mgrid[0:height, 0:width]
+    rgb = np.stack(
+        [
+            np.clip(y * 3 + 16, 0, 255),
+            np.clip(x * 2 + 32, 0, 255),
+            np.clip(x + y + 64, 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    return write_jpeg_progressive(rgb, subsampling)
+
+
 def write_jpeg_rgb(width: int, height: int,
                    subsampling: str = "420") -> bytes:
     """REAL color baseline JPEG (round 4): 3-component YCbCr with

@@ -22,8 +22,9 @@ from westa_ocr_spark.queries.common import (  # noqa: F401
 def _media_df(spark, sf):
     """Synthetic media table: REAL png/jpeg/gif bytes (round 2 —
     correct CRCs, SOF segments, screen descriptors) with dimensions
-    derived from doc_id, plus color-JPEG legs (round 4: 4:2:0 and
-    4:4:4 YCbCr) and a garbage leg for the ERROR path."""
+    derived from doc_id, plus round-4 JPEG legs (4:2:0 / 4:4:4
+    color, PROGRESSIVE color, restart-interval gray) and a garbage
+    leg for the ERROR path."""
     from westa_ocr_spark.operators import multimodal as mm
 
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
@@ -36,16 +37,29 @@ def _media_df(spark, sf):
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
                 w, h = 16 + i % 32, 16 + (i * 7) % 32
-                if i % 6 == 0:
+                if i % 8 == 0:
                     blob = mm.write_jpeg(w, h)
-                elif i % 6 == 1:
+                elif i % 8 == 1:
                     blob = mm.write_png(w, h)
-                elif i % 6 == 2:
+                elif i % 8 == 2:
                     blob = mm.write_gif(w, h)
-                elif i % 6 == 3:
+                elif i % 8 == 3:
                     blob = mm.write_jpeg_rgb(w, h, "420")
-                elif i % 6 == 4:
+                elif i % 8 == 4:
                     blob = mm.write_jpeg_rgb(w, h, "444")
+                elif i % 8 == 5:
+                    blob = mm.write_jpeg_progressive_rgb(w, h, "420")
+                elif i % 8 == 6:
+                    from westa_ocr_spark.kernel.jpeg_mini import (
+                        write_jpeg_gray,
+                    )
+                    import numpy as np
+
+                    y, x = np.mgrid[0:h, 0:w]
+                    blob = write_jpeg_gray(
+                        ((x * 31 + y * 17) % 256).astype(np.uint8),
+                        restart_interval=2,
+                    )
                 else:
                     blob = b"not an image " + str(i).encode()
                 urls.append(f"doc://{i}")
