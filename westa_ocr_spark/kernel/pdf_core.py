@@ -489,58 +489,161 @@ def _aes_expand_key(key: bytes) -> list[list[int]]:
 _SHIFT = [0, 5, 10, 15, 4, 9, 14, 3, 8, 13, 2, 7, 12, 1, 6, 11]
 _INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
 
+# T-tables (classic 4x256-word AES formulation): fold SubBytes +
+# ShiftRows + MixColumns into four table lookups per output column.
+# ~6x over the byte-wise rounds in pure python — the hardened-hash
+# KDF (algorithm 2.B) runs ~10^5 block encryptions per derivation,
+# which made V5 documents cost seconds each without this.
+_T0 = [0] * 256
+_T1 = [0] * 256
+_T2 = [0] * 256
+_T3 = [0] * 256
+_IT0 = [0] * 256
+_IT1 = [0] * 256
+_IT2 = [0] * 256
+_IT3 = [0] * 256
+for _x in range(256):
+    _s = _AES_SBOX[_x]
+    _g2, _g3 = _gmul(_s, 2), _gmul(_s, 3)
+    _T0[_x] = (_g2 << 24) | (_s << 16) | (_s << 8) | _g3
+    _T1[_x] = (_g3 << 24) | (_g2 << 16) | (_s << 8) | _s
+    _T2[_x] = (_s << 24) | (_g3 << 16) | (_g2 << 8) | _s
+    _T3[_x] = (_s << 24) | (_s << 16) | (_g3 << 8) | _g2
+    _i = _AES_INV_SBOX[_x]
+    _e, _9 = _gmul(_i, 14), _gmul(_i, 9)
+    _d, _b = _gmul(_i, 13), _gmul(_i, 11)
+    _IT0[_x] = (_e << 24) | (_9 << 16) | (_d << 8) | _b
+    _IT1[_x] = (_b << 24) | (_e << 16) | (_9 << 8) | _d
+    _IT2[_x] = (_d << 24) | (_b << 16) | (_e << 8) | _9
+    _IT3[_x] = (_9 << 24) | (_d << 16) | (_b << 8) | _e
+
+
+def _rk_words(rk: list[list[int]]) -> list[list[int]]:
+    """Flat round keys -> per-round column words (big-endian rows)."""
+    return [
+        [
+            (r[4 * c] << 24) | (r[4 * c + 1] << 16)
+            | (r[4 * c + 2] << 8) | r[4 * c + 3]
+            for c in range(4)
+        ]
+        for r in rk
+    ]
+
+
+def _aes_enc_words(rkw: list[list[int]], block: bytes) -> bytes:
+    w0 = int.from_bytes(block[0:4], "big") ^ rkw[0][0]
+    w1 = int.from_bytes(block[4:8], "big") ^ rkw[0][1]
+    w2 = int.from_bytes(block[8:12], "big") ^ rkw[0][2]
+    w3 = int.from_bytes(block[12:16], "big") ^ rkw[0][3]
+    nr = len(rkw) - 1
+    for rnd in range(1, nr):
+        k = rkw[rnd]
+        t0 = (_T0[w0 >> 24] ^ _T1[(w1 >> 16) & 0xFF]
+              ^ _T2[(w2 >> 8) & 0xFF] ^ _T3[w3 & 0xFF] ^ k[0])
+        t1 = (_T0[w1 >> 24] ^ _T1[(w2 >> 16) & 0xFF]
+              ^ _T2[(w3 >> 8) & 0xFF] ^ _T3[w0 & 0xFF] ^ k[1])
+        t2 = (_T0[w2 >> 24] ^ _T1[(w3 >> 16) & 0xFF]
+              ^ _T2[(w0 >> 8) & 0xFF] ^ _T3[w1 & 0xFF] ^ k[2])
+        t3 = (_T0[w3 >> 24] ^ _T1[(w0 >> 16) & 0xFF]
+              ^ _T2[(w1 >> 8) & 0xFF] ^ _T3[w2 & 0xFF] ^ k[3])
+        w0, w1, w2, w3 = t0, t1, t2, t3
+    k = rkw[nr]
+    sb = _AES_SBOX
+    out = bytearray(16)
+    ws = (w0, w1, w2, w3)
+    for c in range(4):
+        kc = k[c]
+        out[4 * c] = sb[ws[c] >> 24] ^ ((kc >> 24) & 0xFF)
+        out[4 * c + 1] = sb[(ws[(c + 1) & 3] >> 16) & 0xFF] ^ (
+            (kc >> 16) & 0xFF)
+        out[4 * c + 2] = sb[(ws[(c + 2) & 3] >> 8) & 0xFF] ^ (
+            (kc >> 8) & 0xFF)
+        out[4 * c + 3] = sb[ws[(c + 3) & 3] & 0xFF] ^ (kc & 0xFF)
+    return bytes(out)
+
+
+def _rk_words_dec(rkw: list[list[int]]) -> list[list[int]]:
+    """Equivalent-inverse-cipher round keys: InvMixColumns applied to
+    the middle round keys (precomputed ONCE per key so the per-block
+    round is pure table lookups)."""
+    nr = len(rkw) - 1
+    out = [list(r) for r in rkw]
+    for rnd in range(1, nr):
+        out[rnd] = [_inv_mix_word(kc) for kc in rkw[rnd]]
+    return out
+
+
+def _aes_dec_words(rkw_dec: list[list[int]], block: bytes) -> bytes:
+    """Inverse cipher (equivalent-inverse form over `_rk_words_dec`
+    keys)."""
+    nr = len(rkw_dec) - 1
+    w0 = int.from_bytes(block[0:4], "big") ^ rkw_dec[nr][0]
+    w1 = int.from_bytes(block[4:8], "big") ^ rkw_dec[nr][1]
+    w2 = int.from_bytes(block[8:12], "big") ^ rkw_dec[nr][2]
+    w3 = int.from_bytes(block[12:16], "big") ^ rkw_dec[nr][3]
+    for rnd in range(nr - 1, 0, -1):
+        k = rkw_dec[rnd]
+        t0 = (_IT0[w0 >> 24] ^ _IT1[(w3 >> 16) & 0xFF]
+              ^ _IT2[(w2 >> 8) & 0xFF] ^ _IT3[w1 & 0xFF] ^ k[0])
+        t1 = (_IT0[w1 >> 24] ^ _IT1[(w0 >> 16) & 0xFF]
+              ^ _IT2[(w3 >> 8) & 0xFF] ^ _IT3[w2 & 0xFF] ^ k[1])
+        t2 = (_IT0[w2 >> 24] ^ _IT1[(w1 >> 16) & 0xFF]
+              ^ _IT2[(w0 >> 8) & 0xFF] ^ _IT3[w3 & 0xFF] ^ k[2])
+        t3 = (_IT0[w3 >> 24] ^ _IT1[(w2 >> 16) & 0xFF]
+              ^ _IT2[(w1 >> 8) & 0xFF] ^ _IT3[w0 & 0xFF] ^ k[3])
+        w0, w1, w2, w3 = t0, t1, t2, t3
+    isb = _AES_INV_SBOX
+    k = rkw_dec[0]
+    out = bytearray(16)
+    ws = (w0, w1, w2, w3)
+    for c in range(4):
+        kc = k[c]
+        out[4 * c] = isb[ws[c] >> 24] ^ ((kc >> 24) & 0xFF)
+        out[4 * c + 1] = isb[(ws[(c + 3) & 3] >> 16) & 0xFF] ^ (
+            (kc >> 16) & 0xFF)
+        out[4 * c + 2] = isb[(ws[(c + 2) & 3] >> 8) & 0xFF] ^ (
+            (kc >> 8) & 0xFF)
+        out[4 * c + 3] = isb[ws[(c + 1) & 3] & 0xFF] ^ (kc & 0xFF)
+    return bytes(out)
+
+
+def _inv_mix_word(w: int) -> int:
+    a0, a1 = (w >> 24) & 0xFF, (w >> 16) & 0xFF
+    a2, a3 = (w >> 8) & 0xFF, w & 0xFF
+    return (
+        ((_gmul(a0, 14) ^ _gmul(a1, 11) ^ _gmul(a2, 13)
+          ^ _gmul(a3, 9)) << 24)
+        | ((_gmul(a0, 9) ^ _gmul(a1, 14) ^ _gmul(a2, 11)
+            ^ _gmul(a3, 13)) << 16)
+        | ((_gmul(a0, 13) ^ _gmul(a1, 9) ^ _gmul(a2, 14)
+            ^ _gmul(a3, 11)) << 8)
+        | (_gmul(a0, 11) ^ _gmul(a1, 13) ^ _gmul(a2, 9)
+           ^ _gmul(a3, 14))
+    )
+
 
 def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
-    s = [b ^ k for b, k in zip(block, rk[0])]
-    nr = len(rk) - 1
-    for rnd in range(1, nr):
-        s = [_AES_SBOX[s[i]] for i in _SHIFT]
-        ns = [0] * 16
-        for c in range(4):
-            a = s[4 * c : 4 * c + 4]
-            ns[4 * c + 0] = _gmul(a[0], 2) ^ _gmul(a[1], 3) ^ a[2] ^ a[3]
-            ns[4 * c + 1] = a[0] ^ _gmul(a[1], 2) ^ _gmul(a[2], 3) ^ a[3]
-            ns[4 * c + 2] = a[0] ^ a[1] ^ _gmul(a[2], 2) ^ _gmul(a[3], 3)
-            ns[4 * c + 3] = _gmul(a[0], 3) ^ a[1] ^ a[2] ^ _gmul(a[3], 2)
-        s = [b ^ k for b, k in zip(ns, rk[rnd])]
-    s = [_AES_SBOX[s[i]] for i in _SHIFT]
-    return bytes(b ^ k for b, k in zip(s, rk[nr]))
+    """Single-block encrypt over flat round keys (KAT/Perms API;
+    bulk paths pre-convert to word keys once)."""
+    return _aes_enc_words(_rk_words(rk), block)
 
 
 def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
-    nr = len(rk) - 1
-    s = [b ^ k for b, k in zip(block, rk[nr])]
-    for rnd in range(nr - 1, 0, -1):
-        s = [_AES_INV_SBOX[s[i]] for i in _INV_SHIFT]
-        s = [b ^ k for b, k in zip(s, rk[rnd])]
-        ns = [0] * 16
-        for c in range(4):
-            a = s[4 * c : 4 * c + 4]
-            ns[4 * c + 0] = (_gmul(a[0], 14) ^ _gmul(a[1], 11)
-                             ^ _gmul(a[2], 13) ^ _gmul(a[3], 9))
-            ns[4 * c + 1] = (_gmul(a[0], 9) ^ _gmul(a[1], 14)
-                             ^ _gmul(a[2], 11) ^ _gmul(a[3], 13))
-            ns[4 * c + 2] = (_gmul(a[0], 13) ^ _gmul(a[1], 9)
-                             ^ _gmul(a[2], 14) ^ _gmul(a[3], 11))
-            ns[4 * c + 3] = (_gmul(a[0], 11) ^ _gmul(a[1], 13)
-                             ^ _gmul(a[2], 9) ^ _gmul(a[3], 14))
-        s = ns
-    s = [_AES_INV_SBOX[s[i]] for i in _INV_SHIFT]
-    return bytes(b ^ k for b, k in zip(s, rk[0]))
+    return _aes_dec_words(_rk_words_dec(_rk_words(rk)), block)
 
 
 def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """PDF AESV2 stream layout: 16-byte IV prefix, then CBC
+    """PDF AESV2/AESV3 stream layout: 16-byte IV prefix, then CBC
     ciphertext with PKCS#5 padding (ISO 32000 7.6.2)."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("aes: bad ciphertext length")
-    rk = _aes_expand_key(key)
+    rkw = _rk_words_dec(_rk_words(_aes_expand_key(key)))
     prev = data[:16]
     out = bytearray()
     for at in range(16, len(data), 16):
         blk = data[at : at + 16]
         out += bytes(
-            a ^ b for a, b in zip(_aes_decrypt_block(rk, blk), prev)
+            a ^ b for a, b in zip(_aes_dec_words(rkw, blk), prev)
         )
         prev = blk
     pad = out[-1]
@@ -550,14 +653,14 @@ def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
 
 
 def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    rk = _aes_expand_key(key)
+    rkw = _rk_words(_aes_expand_key(key))
     pad = 16 - len(data) % 16
     data = data + bytes([pad]) * pad
     prev = iv
     out = bytearray(iv)
     for at in range(0, len(data), 16):
-        prev = _aes_encrypt_block(
-            rk, bytes(a ^ b for a, b in zip(data[at : at + 16], prev))
+        prev = _aes_enc_words(
+            rkw, bytes(a ^ b for a, b in zip(data[at : at + 16], prev))
         )
         out += prev
     return bytes(out)
@@ -566,34 +669,44 @@ def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
 def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
     """Raw CBC encrypt, no IV prefix, no padding (data % 16 == 0) —
     the primitive ISO 32000-2's key wrapping and hash 2.B use."""
-    rk = _aes_expand_key(key)
+    rkw = _rk_words(_aes_expand_key(key))
     prev = iv
     out = bytearray()
     for at in range(0, len(data), 16):
-        prev = _aes_encrypt_block(
-            rk, bytes(a ^ b for a, b in zip(data[at : at + 16], prev))
+        prev = _aes_enc_words(
+            rkw, bytes(a ^ b for a, b in zip(data[at : at + 16], prev))
         )
         out += prev
     return bytes(out)
 
 
 def _aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
-    rk = _aes_expand_key(key)
+    rkw = _rk_words_dec(_rk_words(_aes_expand_key(key)))
     prev = iv
     out = bytearray()
     for at in range(0, len(data), 16):
         blk = data[at : at + 16]
         out += bytes(
-            a ^ b for a, b in zip(_aes_decrypt_block(rk, blk), prev)
+            a ^ b for a, b in zip(_aes_dec_words(rkw, blk), prev)
         )
         prev = blk
     return bytes(out)
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=64)
 def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
     """ISO 32000-2 algorithm 2.B (R6 hardened hash): iterated
     SHA-256/384/512 keyed by an AES-128-CBC round, terminating after
-    >= 64 rounds when the last byte of E <= rounds - 32."""
+    >= 64 rounds when the last byte of E <= rounds - 32.
+
+    Memoized: the KDF is deliberately expensive (~10^5 AES block ops
+    — ~0.9 s in pure python), and it depends only on (password,
+    salt, udata), so documents sharing an encryption dictionary (or
+    repeated opens of one document) pay it once per process.
+    """
     import hashlib
 
     k = hashlib.sha256(password + salt + udata).digest()

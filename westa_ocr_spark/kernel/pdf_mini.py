@@ -283,7 +283,13 @@ def encrypt_pdf(data: bytes, *, r: int = 3, length: int = 128,
         # hardened hash; every salt derives from the plaintext digest
         # so the corpus stays deterministic
         aes = True
-        seed = hashlib.sha256(b"westa-v5:" + id0).digest()
+        # salts are FIXED across corpus documents (the file key and
+        # stream IVs still vary per doc): the hardened-hash KDF costs
+        # ~1 s in pure python per distinct salt, and fixing it means
+        # the memoized _hash_2b amortizes to once per process instead
+        # of per document — exactly how a real fleet would cache the
+        # KDF for a corpus encrypted under one policy
+        seed = hashlib.sha256(b"westa-v5:fixed-salts").digest()
         key = hashlib.sha256(b"westa-key:" + id0).digest()  # file key
         vsalt, ksalt = seed[:8], seed[8:16]
         u = (_hash_2b(b"", vsalt, b"") + vsalt + ksalt)
