@@ -50,6 +50,10 @@ HEADLINE = [
     "sequence_packing",
     # round 4
     "sequence_packing_strict",
+    "bm25_search",
+    "dedup_incremental",
+    "tpch_q9",
+    "tpch_q21",
 ]
 
 
