@@ -232,3 +232,62 @@ def test_warc_datasource_url_record_skip(spark, tmp_path):
     )
     assert sorted(r["url"] for r in got) == want_prefix
     assert all(r["status"] == "OK" for r in got)  # ERROR row suppressed
+
+
+def test_http_body_decodings():
+    """Round 4: response bodies with Transfer-Encoding: chunked and
+    Content-Encoding: gzip/deflate — both common in real captures —
+    decode to the original document bytes; broken encodings fall back
+    to the raw body (ERROR path downstream, never a parser crash)."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    from westa_ocr_spark.sources.warc import parse_warc
+
+    doc = b"<html><body><p>hello encodings</p></body></html>"
+
+    def rec(http):
+        head = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://e.example/x\r\n"
+            b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+            + f"Content-Length: {len(http)}\r\n".encode()
+            + b"\r\n"
+        )
+        return head + http + b"\r\n\r\n"
+
+    # chunked
+    chunks = b"10\r\n" + doc[:16] + b"\r\n" + (
+        b"%x\r\n" % len(doc[16:])) + doc[16:] + b"\r\n0\r\n\r\n"
+    http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            + chunks)
+    assert parse_warc(rec(http))[0]["payload"] == doc
+
+    # gzip
+    http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+            + _gzip.compress(doc))
+    assert parse_warc(rec(http))[0]["payload"] == doc
+
+    # deflate (zlib-wrapped and raw)
+    for blob in (_zlib.compress(doc),
+                 _zlib.compressobj(wbits=-15).compress(doc)
+                 + _zlib.compressobj(wbits=-15).flush()):
+        pass
+    co = _zlib.compressobj(wbits=-15)
+    raw_deflate = co.compress(doc) + co.flush()
+    for blob in (_zlib.compress(doc), raw_deflate):
+        http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+                + blob)
+        assert parse_warc(rec(http))[0]["payload"] == doc
+
+    # chunked + gzip stacked
+    gz = _gzip.compress(doc)
+    chunks = (b"%x\r\n" % len(gz)) + gz + b"\r\n0\r\n\r\n"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + chunks)
+    assert parse_warc(rec(http))[0]["payload"] == doc
+
+    # broken gzip: raw body returned, no crash
+    http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+            b"\x1f\x8bGARBAGE")
+    assert parse_warc(rec(http))[0]["payload"] == b"\x1f\x8bGARBAGE"

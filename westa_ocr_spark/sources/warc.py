@@ -97,14 +97,59 @@ def _parse_record(chunk: bytes, at: int) -> tuple[dict, int]:
     )
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer-encoding (RFC 9112 §7.1)."""
+    out = bytearray()
+    at = 0
+    n = len(body)
+    while at < n:
+        eol = body.find(_CRLF, at)
+        if eol < 0:
+            raise ValueError("warc: truncated chunk header")
+        size_tok = body[at:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError as exc:
+            raise ValueError("warc: bad chunk size") from exc
+        if size == 0:
+            break  # trailers (if any) are discarded
+        start = eol + 2
+        if start + size > n:
+            raise ValueError("warc: truncated chunk body")
+        out += body[start : start + size]
+        at = start + size + 2  # skip trailing CRLF
+    return bytes(out)
+
+
 def _strip_http_headers(block: bytes) -> bytes:
     """For response records the block is an HTTP message; the payload
-    starts after its header section."""
-    if block.startswith(b"HTTP/"):
-        sep = block.find(_CRLF + _CRLF)
-        if sep >= 0:
-            return block[sep + 4 :]
-    return block
+    starts after its header section. Round 4: bodies carried with
+    ``Transfer-Encoding: chunked`` are de-chunked and
+    ``Content-Encoding: gzip``/``deflate`` bodies are decompressed —
+    both common in real crawl captures; undecodable bodies fall back
+    to the raw bytes (the per-row ERROR path downstream reports them
+    honestly rather than this parser guessing)."""
+    if not block.startswith(b"HTTP/"):
+        return block
+    sep = block.find(_CRLF + _CRLF)
+    if sep < 0:
+        return block
+    headers = block[:sep].lower()
+    body = block[sep + 4 :]
+    try:
+        if b"transfer-encoding: chunked" in headers:
+            body = _dechunk(body)
+        if (b"content-encoding: gzip" in headers
+                or b"content-encoding: x-gzip" in headers):
+            body = gzip.decompress(body)
+        elif b"content-encoding: deflate" in headers:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                body = zlib.decompress(body, -15)  # raw deflate
+    except (ValueError, OSError, EOFError):
+        return block[sep + 4 :]  # honest fallback: raw body
+    return body
 
 
 def parse_warc(data: bytes) -> list[dict]:
