@@ -85,9 +85,63 @@ def test_text_after_nested_block_resumes_parent():
     assert [s["tag"] for s in spans] == ["div", "p", "div"]
 
 
-def test_invalid_utf8_raises():
+def test_undecodable_raises():
+    # no BOM, no declaration, invalid UTF-8 -> strict decode raises
     with pytest.raises(UnicodeDecodeError):
-        extract_html(b"\xff\xfe<html><p>bad</p>")
+        extract_html(b"\xff<html><p>bad</p>")
+    # BOM'd UTF-16 with an odd-length (truncated) body also raises
+    with pytest.raises(UnicodeDecodeError):
+        extract_html(b"\xff\xfe\x00<html><p>bad bytes")
+
+
+def test_charset_bom_utf16():
+    # b"\xff\xfe" + even-length body IS valid BOM'd UTF-16-LE now
+    body = "<p>héllo wörld text</p>".encode("utf-16-le")
+    text, _ = extract_html(b"\xff\xfe" + body)
+    assert text == "héllo wörld text"
+
+
+def test_charset_meta_declarations():
+    for label, codec, probe in [
+        ("Shift_JIS", "cp932", "日本語の本文です"),
+        ("EUC-KR", "cp949", "한국어 문장"),
+        ("GB2312", "gbk", "中文正文"),
+        ("windows-1252", "cp1252", "déjà façade"),
+        ("latin-1", "cp1252", "café €uro"),  # WHATWG: latin-1 -> cp1252
+    ]:
+        doc = (
+            f'<html><head><meta charset="{label}"></head>'
+            f"<body><p>{probe} filler words here</p></body></html>"
+        ).encode(codec)
+        text, _ = extract_html(doc)
+        assert text == f"{probe} filler words here", (label, text)
+        # http-equiv form resolves identically
+        doc2 = (
+            '<html><head><meta http-equiv="Content-Type" '
+            f'content="text/html; charset={label}"></head>'
+            f"<body><p>{probe} filler words here</p></body></html>"
+        ).encode(codec)
+        assert extract_html(doc2)[0] == f"{probe} filler words here"
+
+
+def test_charset_transport_hint_and_fallbacks():
+    raw = "<p>garçon déjà</p>".encode("cp1252")
+    # transport hint beats the (absent) meta declaration
+    assert extract_html(raw, charset_hint="iso-8859-1")[0] == "garçon déjà"
+    # unknown label falls back to strict UTF-8
+    utf8 = '<meta charset="x-nope"><p>plain ascii here</p>'.encode()
+    assert extract_html(utf8)[0] == "plain ascii here"
+    # mislabeled page whose bytes fail the declared codec strictly
+    # falls back to strict UTF-8 (0xC2 0x81 is valid UTF-8 but 0x81
+    # is undefined in cp1252)
+    from westa_ocr_spark.kernel.html_extract import decode_html_bytes
+
+    mislabeled = (
+        b'<meta charset="windows-1252">'
+        + "<p>ctrl \x81 marker</p>".encode("utf-8")
+    )
+    text, enc = decode_html_bytes(mislabeled)
+    assert enc == "utf-8" and "\x81" in text
 
 
 def test_empty_and_comment_only():

@@ -36,7 +36,33 @@ OVERSIZED_BYTES = 256 * 1024
 
 # bump when the document grammar changes: cache directories derived
 # from the corpus must not survive a grammar change
-CORPUS_VERSION = 6
+CORPUS_VERSION = 7
+
+# Charset dialects (corpus v7): a real crawl is not all-UTF-8, so
+# HTML docs cycle declared charsets. Each entry is
+# (meta_style, declared_label, python_codec, native_sentence);
+# meta_style: "plain" = no declaration (UTF-8 default path),
+# "meta" = <meta charset=...>, "http-equiv" = the legacy
+# Content-Type meta, "bom16" = UTF-16-LE with BOM and no meta.
+# Native sentences keep the non-ASCII planes honest (the rest of the
+# grammar is ASCII and would decode identically under any charset).
+_CHARSET_DIALECTS: tuple[tuple[str, str | None, str, str], ...] = (
+    ("plain", None, "utf-8", ""),
+    ("plain", None, "utf-8", ""),
+    ("plain", None, "utf-8", ""),
+    ("meta", "utf-8", "utf-8", "Déjà vu — naïve café résumé."),
+    ("meta", "windows-1252", "cp1252", "Fenêtre déjà ouverte, garçon ébloui."),
+    ("meta", "Shift_JIS", "cp932", "日本語の本文抽出は決定的に動作します。"),
+    ("http-equiv", "EUC-KR", "cp949", "한국어 본문 추출 테스트 문장입니다."),
+    ("meta", "GB2312", "gbk", "中文网页正文抽取测试句子。"),
+    ("bom16", None, "utf-16-le", "Vollständig geprüfter Text — äöüß."),
+    ("http-equiv", "Shift_JIS", "cp932", "追加の日本語テスト文です。"),
+)
+
+
+def charset_for(i: int, seed: int = 42) -> tuple[str, str | None, str, str]:
+    """The charset dialect row ``i``'s HTML doc is encoded with."""
+    return _CHARSET_DIALECTS[_hint(i, "cs", len(_CHARSET_DIALECTS), seed)]
 
 
 def _h(i: int, salt: str, seed: int = 42) -> bytes:
@@ -79,9 +105,22 @@ def kind_for(i: int) -> str:
 
 
 def make_html(i: int, seed: int = 42, oversized: bool = False) -> bytes:
-    """Assemble one synthetic HTML document from the seeded grammar."""
+    """Assemble one synthetic HTML document from the seeded grammar.
+
+    Corpus v7: docs cycle through the charset dialects in
+    ``_CHARSET_DIALECTS`` — declared via ``<meta charset>``,
+    ``http-equiv``, a UTF-16 BOM, or nothing (UTF-8 default) — and
+    carry a native-language sentence in the declared charset's plane,
+    so extraction exercises the kernel's charset sniffing end-to-end.
+    """
+    meta_style, label, pycodec, native = charset_for(i, seed)
     n_para = 3 + _hint(i, "np", 10, seed)  # 3..12 main-content blocks
     paras = [_paragraph(i, j, seed) for j in range(n_para)]
+    if native:
+        paras.insert(
+            _hint(i, "cp", len(paras), seed),
+            f"{native} {_sentence(i, 888, 4, seed)}",
+        )
     if oversized:
         reps = OVERSIZED_BYTES // max(1, len(" ".join(paras))) + 1
         paras = [p for _ in range(reps) for p in paras]
@@ -103,8 +142,17 @@ def make_html(i: int, seed: int = 42, oversized: bool = False) -> bytes:
         f"<div><p>{_sentence(i, 777, 3, seed)}</p>"
         f'<p><a href="/more">more</a> {_WORDS[_hint(i, "sb", len(_WORDS), seed)]}</p></div>'
     )
+    if meta_style == "meta":
+        meta_tag = f'<meta charset="{label}">'
+    elif meta_style == "http-equiv":
+        meta_tag = (
+            '<meta http-equiv="Content-Type" '
+            f'content="text/html; charset={label}">'
+        )
+    else:  # plain / bom16: no in-document declaration
+        meta_tag = ""
     html = (
-        "<!DOCTYPE html><html><head><title>t</title>"
+        f"<!DOCTYPE html><html><head>{meta_tag}<title>t</title>"
         "<style>p{color:red}</style>"
         "<script>var x = '<p>not content</p>';</script></head>"
         "<body>"
@@ -120,7 +168,11 @@ def make_html(i: int, seed: int = 42, oversized: bool = False) -> bytes:
         f'<footer><a href="/tos">terms</a> <a href="/priv">privacy</a>'
         "</footer></body></html>"
     )
-    return html.encode("utf-8")
+    if meta_style == "bom16":
+        import codecs
+
+        return codecs.BOM_UTF16_LE + html.encode("utf-16-le")
+    return html.encode(pycodec)
 
 
 def make_pdf(i: int, seed: int = 42) -> bytes:

@@ -10,9 +10,14 @@ is a pure function of the inputs.
 
 Contract (frozen — fixtures are byte-identical against this):
 
-* input: UTF-8 encoded HTML bytes (strict decode; invalid UTF-8 raises
+* input: HTML bytes in any declared web charset. Decoding is
+  charset-aware (round 5, WHATWG-style sniff order): BOM >
+  transport-layer ``Content-Type`` hint > ``<meta charset>`` /
+  ``http-equiv`` prescan of the first 1024 bytes > strict UTF-8.
+  Every decode is STRICT; a genuinely undecodable document raises
   ``UnicodeDecodeError`` -> per-row ERROR path, mirroring
-  ``/root/reference/app/worker.py:798-823``).
+  ``/root/reference/app/worker.py:798-823``. Output text is unicode
+  (UTF-8 downstream) regardless of the input charset.
 * the document is segmented into *blocks* at block-level element
   boundaries (``p``, ``h1``-``h6``, ``li``, ``div``, ``article``, ...).
 * subtrees under chrome/noise tags (``script``, ``style``, ``nav``,
@@ -36,9 +41,117 @@ Contract (frozen — fixtures are byte-identical against this):
 
 from __future__ import annotations
 
+import codecs
 import re
 from html import unescape
 from html.parser import HTMLParser
+
+# ---------------------------------------------------------------------------
+# Charset-aware byte decoding (round 5). A real crawl is a long way
+# from all-UTF-8 (windows-125x, Shift_JIS, GBK, EUC-KR, ...); the
+# reference sidesteps decoding by shipping raw bytes to the LLM
+# (/root/reference/app/gemini.py:94), so the native kernel must do
+# what the LLM did: honor the document's declared charset. Sniff
+# order follows WHATWG encoding detection: BOM, then the transport
+# (HTTP Content-Type) hint, then a <meta charset> / http-equiv
+# prescan of the first 1024 bytes, then strict UTF-8. All decodes
+# are strict — a mislabeled page falls back to strict UTF-8, and only
+# a genuinely undecodable payload raises (per-row ERROR path).
+
+# UTF-32 BOMs MUST be probed before UTF-16 (0xFF 0xFE is a prefix of
+# 0xFF 0xFE 0x00 0x00).
+_BOMS: tuple[tuple[bytes, str], ...] = (
+    (codecs.BOM_UTF32_LE, "utf-32-le"),
+    (codecs.BOM_UTF32_BE, "utf-32-be"),
+    (codecs.BOM_UTF8, "utf-8"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+)
+
+# WHATWG-style label overrides layered over the stdlib alias table:
+# the web's legacy labels resolve to their windows/vendor supersets
+# (https://encoding.spec.whatwg.org/ "Names and labels" — public
+# standard; e.g. pages labeled latin1 are decoded as windows-1252,
+# shift_jis as cp932, gb2312 as gbk, euc-kr as cp949).
+_LABEL_OVERRIDES: dict[str, str] = {
+    "ascii": "cp1252",
+    "us-ascii": "cp1252",
+    "iso-8859-1": "cp1252",
+    "iso8859-1": "cp1252",
+    "iso_8859-1": "cp1252",
+    "latin-1": "cp1252",
+    "latin1": "cp1252",
+    "l1": "cp1252",
+    "shift_jis": "cp932",
+    "shift-jis": "cp932",
+    "sjis": "cp932",
+    "x-sjis": "cp932",
+    "ms_kanji": "cp932",
+    "windows-31j": "cp932",
+    "gb2312": "gbk",
+    "gb_2312": "gbk",
+    "gb_2312-80": "gbk",
+    "csgb2312": "gbk",
+    "euc-kr": "cp949",
+    "euc_kr": "cp949",
+    "korean": "cp949",
+    "ks_c_5601-1987": "cp949",
+    "ksc5601": "cp949",
+    "tis-620": "cp874",
+    "iso-8859-11": "cp874",
+}
+
+# Matches both <meta charset="..."> and
+# <meta http-equiv="Content-Type" content="text/html; charset=...">
+# inside the raw-bytes prescan window.
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]{0,512}?charset\s*=\s*["']?\s*([A-Za-z0-9._][A-Za-z0-9._:-]*)""",
+    re.IGNORECASE,
+)
+
+
+def _resolve_charset_label(label: str) -> str | None:
+    """Declared charset label -> canonical python codec name (or None
+    when the label names no known codec)."""
+    norm = label.strip().strip("\"'").lower()
+    norm = _LABEL_OVERRIDES.get(norm, norm)
+    try:
+        return codecs.lookup(norm).name
+    except LookupError:
+        return None
+
+
+def decode_html_bytes(
+    data: bytes, transport_charset: str | None = None
+) -> tuple[str, str]:
+    """Decode raw HTML bytes to text, honoring declared charsets.
+
+    Returns ``(text, codec_name)``. Raises ``UnicodeDecodeError``
+    only when no applicable strict decode succeeds (ERROR row
+    upstream). A leading U+FEFF surviving a declared decode is
+    stripped (it is metadata, not content).
+    """
+    for bom, enc in _BOMS:
+        if data.startswith(bom):
+            return data[len(bom):].decode(enc), enc
+    declared = None
+    if transport_charset is not None:
+        declared = _resolve_charset_label(transport_charset)
+    if declared is None:
+        m = _META_CHARSET_RE.search(data[:1024])
+        if m is not None:
+            declared = _resolve_charset_label(
+                m.group(1).decode("ascii", "replace")
+            )
+    if declared is not None:
+        try:
+            text = data.decode(declared)
+            return (
+                text[1:] if text.startswith("\ufeff") else text
+            ), declared
+        except UnicodeDecodeError:
+            pass  # mislabeled page: strict-UTF-8 fallback below
+    return data.decode("utf-8"), "utf-8"
 
 # Elements that start a new text block.
 BLOCK_TAGS = frozenset(
@@ -376,7 +489,8 @@ def _fast_feed(text: str, p: _Extractor) -> None:  # noqa: C901
 
 
 def extract_html(html_bytes: bytes, *,
-                 tokenizer: str = "fast") -> tuple[str, list[dict]]:
+                 tokenizer: str = "fast",
+                 charset_hint: str | None = None) -> tuple[str, list[dict]]:
     """Extract main content text + block spans from raw HTML bytes.
 
     Returns ``(text, spans)`` where spans is a list of dicts
@@ -384,8 +498,10 @@ def extract_html(html_bytes: bytes, *,
     tag}``. Raises on undecodable input (per-row ERROR path upstream).
     ``tokenizer``: ``"fast"`` (default, ~2x) or ``"stdlib"`` (the
     html.parser reference path both implementations must match).
+    ``charset_hint``: optional transport-layer charset (e.g. from an
+    HTTP ``Content-Type`` header); see :func:`decode_html_bytes`.
     """
-    text = html_bytes.decode("utf-8")  # strict: malformed bytes -> error row
+    text, _ = decode_html_bytes(html_bytes, charset_hint)
     parser = _Extractor()
     if tokenizer == "fast":
         _fast_feed(text, parser)

@@ -122,6 +122,47 @@ def _sql_shingles(col: str, k: int = 3) -> str:
     )
 
 
+def _sql_simhash64_query(source_sql: str, id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """DuckDB twin of dedup._simhash64_py / dedup.simhash64 (round 5,
+    VERDICT r4 #4), as a full SELECT over ``source_sql``: per word,
+    the first 8 md5 digest bytes big-endian as a UBIGINT (= first 16
+    hex chars); per bit, +1/-1 votes; the 64-bit majority mask
+    sign-wrapped to BIGINT. Integer bit ops throughout (pow()/floor()
+    double arithmetic loses bits >52), and the word-hash list is
+    staged in a CTE so the md5 work appears once, not once per bit
+    term."""
+    words = (
+        f"list_filter(string_split({_SQL_NORM.format(c=text_col)}, ' '),"
+        " w -> length(w) > 0)"
+    )
+    hashes = (
+        f"list_transform({words}, w ->"
+        " cast(concat('0x', substring(md5(w), 1, 16)) AS UBIGINT))"
+    )
+    terms = []
+    for bit in range(64):
+        votes = (
+            "list_sum(list_transform(hashes, h -> CASE WHEN"
+            f" (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(
+            f"CASE WHEN coalesce({votes}, 0) > 0"
+            f" THEN cast('{2 ** bit}' AS HUGEINT)"
+            " ELSE cast(0 AS HUGEINT) END"
+        )
+    raw = " + ".join(terms)
+    return (
+        f"WITH _sh64_src AS ({source_sql}), "
+        f"_sh64_h AS (SELECT {id_col}, {hashes} AS hashes FROM _sh64_src) "
+        f"SELECT {id_col}, cast(CASE WHEN raw >="
+        f" cast('{2 ** 63}' AS HUGEINT)"
+        f" THEN raw - cast('{2 ** 64}' AS HUGEINT)"
+        " ELSE raw END AS BIGINT) AS simhash64 "
+        f"FROM (SELECT {id_col}, {raw} AS raw FROM _sh64_h)"
+    )
+
+
 def _sql_simhash16(col: str) -> str:
     words = (
         f"list_filter(string_split({_SQL_NORM.format(c=col)}, ' '),"

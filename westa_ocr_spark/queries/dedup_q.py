@@ -11,7 +11,8 @@ from westa_ocr_spark.functions.textfns import round_det  # noqa: F401
 from westa_ocr_spark.queries.common import (  # noqa: F401
     _SQL_NORM, _SQL_WORDS, _sql_lang_best, _sql_lang_from_best,
     _sql_lang_scores, _sql_occ, _sql_punct_ratio, _sql_quality,
-    _sql_round_det, _sql_shingles, _sql_simhash16, _sql_stop_ratio,
+    _sql_round_det, _sql_shingles, _sql_simhash16,
+    _sql_simhash64_query, _sql_stop_ratio,
     _sql_token_count, _t,
 )
 
@@ -149,10 +150,17 @@ _SQL_SIMHASH16 = (
 
 
 def _q_simhash64(spark, sf):
-    # 64-bit pandas-UDF SimHash — no SQL twin (rows-only check)
+    # 64-bit numpy-vectorized SimHash; round 5 adds the DuckDB
+    # integer-bit-ops twin (was rows-only), so the driver now verifies
+    # the 64-bit values, not just row counts.
     return dedup.simhash64(
         _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
     )
+
+
+_SQL_SIMHASH64 = _sql_simhash64_query(
+    "SELECT doc_id, text FROM documents WHERE doc_id < 300"
+)
 
 
 
@@ -284,7 +292,7 @@ DEFS = {
     "minhash_signatures": (_q_minhash_signatures, _SQL_MINHASH_SIGNATURES),
     "ngram_jaccard": (_q_ngram_jaccard, _SQL_NGRAM_JACCARD),
     "simhash16": (_q_simhash16, _SQL_SIMHASH16),
-    "simhash64": (_q_simhash64, None),
+    "simhash64": (_q_simhash64, _SQL_SIMHASH64),
     "duplicate_groups": (_q_duplicate_groups, _SQL_DUPLICATE_GROUPS),
     "lsh_dup_candidates": (_q_lsh_dup_candidates, None),
     "dedup_keep_canonical": (_q_dedup_keep_canonical, _SQL_DEDUP_KEEP_CANONICAL),

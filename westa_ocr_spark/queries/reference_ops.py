@@ -617,24 +617,84 @@ FROM lines WHERE len(cells) >= 15
 
 
 # ---------------------------------------------------------------------------
-# Extraction pipeline as a query (rows-only: input is generated, the
-# pages corpus isn't one of the oracle views)
+# Extraction pipeline as a query. Round 5: value-oracled against the
+# pinned golden fixture (tests/fixtures/extract_expected.json, written
+# by scripts/gen_fixtures.py) loaded into DuckDB — the same frozen
+# expectations the byte-identity pytest gate uses, so the driver now
+# verifies extraction VALUES, not just row counts (VERDICT r4 #4).
 
-def _q_extract_pages(spark, sf):
+_EXTRACT_FIXTURE = None  # resolved lazily so the module imports anywhere
+
+
+def _extract_fixture_path() -> str:
+    import os
+
+    return os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__), "..", "..", "tests", "fixtures",
+            "extract_expected.json",
+        )
+    )
+
+
+def _staged_corpus_path(n: int = 200) -> str:
     import tempfile
 
-    from westa_ocr_spark.corpus import write_pages_parquet
+    from westa_ocr_spark.corpus import CORPUS_VERSION, write_pages_parquet
+
+    path = tempfile.gettempdir() + f"/westa_q_pages_v{CORPUS_VERSION}_{n}"
+    write_pages_parquet(path, n=n, seed=42)
+    return path
+
+
+def _q_extract_pages(spark, sf):
     from westa_ocr_spark.operators.extract import extract_pages
 
-    from westa_ocr_spark.corpus import CORPUS_VERSION
-
-    path = tempfile.gettempdir() + f"/westa_q_pages_v{CORPUS_VERSION}_200"
-    write_pages_parquet(path, n=200, seed=42)
-    out = extract_pages(spark.read.parquet(path))
+    out = extract_pages(spark.read.parquet(_staged_corpus_path(200)))
     return out.select(
         "url", "page_index", "status", "kind", "n_blocks",
         F.length("text").alias("text_chars"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256"),
     )
+
+
+_SQL_EXTRACT_PAGES = f"""
+SELECT url, page_index, status, kind, n_blocks, text_chars, text_sha256
+FROM read_json('{_extract_fixture_path()}')
+"""
+
+
+def _q_charset_extract(spark, sf):
+    """Charset-decode coverage (round 5): every corpus doc with a
+    non-trivial charset declaration (meta / http-equiv / UTF-16 BOM;
+    cp1252, cp932, cp949, gbk, utf-16-le planes) extracts to exactly
+    the pinned fixture text — i.e. non-UTF-8 crawl pages yield
+    content instead of ERROR rows."""
+    from westa_ocr_spark.corpus import charset_for, kind_for, url_for
+    from westa_ocr_spark.operators.extract import extract_pages
+
+    path = _staged_corpus_path(200)
+    cs_rows = [
+        (url_for(i), charset_for(i)[0], charset_for(i)[2])
+        for i in range(200)
+        if kind_for(i) in ("html", "oversized")
+        and charset_for(i)[0] != "plain"
+    ]
+    cs = spark.createDataFrame(
+        cs_rows, "url string, charset_mode string, charset_codec string"
+    )
+    out = extract_pages(spark.read.parquet(path))
+    return out.join(F.broadcast(cs), "url").select(
+        "url", "charset_mode", "charset_codec", "status", "n_blocks",
+        F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256"),
+    )
+
+
+_SQL_CHARSET_EXTRACT = f"""
+SELECT url, charset_mode, charset_codec, status, n_blocks, text_sha256
+FROM read_json('{_extract_fixture_path()}')
+WHERE charset_mode IS NOT NULL AND charset_mode <> 'plain'
+"""
 
 
 
@@ -877,7 +937,30 @@ def _q_warc_ingest(spark, sf):
     return extract_pages(pages).select(
         "url", "page_index", "status", "n_blocks",
         F.length("text").alias("text_chars"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256"),
     )
+
+
+# Round-5 value oracle (was rows-only): the synthesized WARC docs wrap
+# documents.text in a single <p>, so the extraction output is exactly
+# the whitespace-normalized document text — DuckDB can predict url,
+# blocks, char count and the sha256 of the extracted text directly
+# from the documents view (text is ASCII with single-space runs; the
+# kernel's unicode-whitespace collapse reduces to trim + space
+# collapse here).
+_SQL_WARC_INGEST = """
+SELECT 'https://warc.example/d' || doc_id AS url,
+       1 AS page_index,
+       'DONE' AS status,
+       CASE WHEN norm = '' THEN 0 ELSE 1 END AS n_blocks,
+       length(norm) AS text_chars,
+       sha256(norm) AS text_sha256
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), ' +', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id < 200
+)
+"""
 
 
 
@@ -996,7 +1079,8 @@ DEFS = {
     "drive_id_normalize": (_q_drive_id_normalize, _SQL_DRIVE_ID_NORMALIZE),
     "prompt_assembly": (_q_prompt_assembly, _SQL_PROMPT_ASSEMBLY),
     "base64_roundtrip": (_q_base64_roundtrip, _SQL_BASE64_ROUNDTRIP),
-    "extract_pages_job": (_q_extract_pages, None),
+    "extract_pages_job": (_q_extract_pages, _SQL_EXTRACT_PAGES),
+    "charset_extract": (_q_charset_extract, _SQL_CHARSET_EXTRACT),
     "split_pdf_payloads": (_q_split_pdf_payloads, None),
-    "warc_ingest": (_q_warc_ingest, None),
+    "warc_ingest": (_q_warc_ingest, _SQL_WARC_INGEST),
 }

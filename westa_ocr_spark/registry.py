@@ -62,21 +62,84 @@ for _mod in (
 # row is oldest — until the 50 slots are full. Entries past the
 # boundary keep their newest green CORRECTNESS_r{N} row as evidence;
 # nothing may rest on a row older than ~2 rounds before rotating back
-# in. Round-4 window: 4 r3-red fixes + url_normalize (definition
-# changed) + 7 new queries + 38 veterans whose last driver row is
-# r1/r2. Rotated out (r3-green, unchanged): the 44 r3-window
-# survivors plus simhash16 / embedding_topk / lsh_topk / ivf_topk /
-# deterministic_sample / top_terms, which are first in line for the
-# round-5 window.
+# in. Round-5 window: 7 changed/new queries (charset_extract is new;
+# extract_pages_job / warc_ingest / simhash64 gained value oracles;
+# media_features grew interlaced decode; dedup_incremental /
+# stream_stream_join got per-run staging paths), then the 9 r2-era
+# veterans VERDICT r4 queued by name, then 34 of the r3-green
+# veterans. Below the boundary: the other r3 greens and every
+# r4-green window survivor (freshest evidence).
 MANIFEST: list[str] = [
-    # -- r3-red rows, fixed this round (must re-verify green) ---------
+    # -- new / changed this round -------------------------------------
+    "charset_extract",
+    "extract_pages_job",
+    "warc_ingest",
+    "simhash64",
+    "media_features",
+    "dedup_incremental",
+    "stream_stream_join",
+    # -- r2-evidence veterans (VERDICT r4 "What's wrong" #1) ----------
+    "rollup_counts",
+    "pivot_event_types",
+    "set_ops",
+    "simhash16",
+    "embedding_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "deterministic_sample",
+    "top_terms",
+    # -- longest-unverified r3-green veterans -------------------------
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "asof_join",
+    "range_join",
+    "value_quantiles",
+    "group_zscore",
+    "running_range_window",
+    "duplicate_groups",
+    "dedup_keep_canonical",
+    "line_dedup",
+    "exact_dedup",
+    "minhash_signatures",
+    "ngram_jaccard",
+    "gopher_quality",
+    "pii_redaction",
+    "decontamination",
+    "lang_id",
+    "quality_scores",
+    "parse_pages",
+    "stratified_sample",
+    "embedding_dup_pairs",
+    "lsh_dup_candidates",
+    "embedding_dup_pairs_lsh",
+    # ======================= driver window boundary ==================
+    # Below: remaining r3 greens (rotate into the r6 window) and the
+    # r4-green window survivors, freshest first in rotation priority.
+    "stream_windowed_counts",
+    "stream_session_windows",
+    "stream_first_seen",
+    "hypertable_rollup",
+    "cms_estimates",
+    "frame_sampling",
+    "split_pdf_payloads",
+    "split_pages_udtf",
+    "audio_features",
+    "merge_upsert",
     "domain_stats",
     "tpch_q12",
     "sequence_packing",
-    "media_features",
-    # -- definition changed this round --------------------------------
     "url_normalize",
-    # -- round-4 additions --------------------------------------------
     "sequence_packing_strict",
     "tpch_q2",
     "tpch_q9",
@@ -84,15 +147,10 @@ MANIFEST: list[str] = [
     "tpch_q16",
     "tpch_q20",
     "tpch_q21",
-    "stream_stream_join",
     "bm25_search",
-    "dedup_incremental",
-    # -- longest-unverified veterans (last driver row r1/r2) ----------
     "parse_details",
     "tpch_q1",
     "tpch_q3",
-    "extract_pages_job",
-    "simhash64",
     "embedding_knn",
     "sessionize",
     "filter_pending",
@@ -123,66 +181,6 @@ MANIFEST: list[str] = [
     "drive_id_normalize",
     "prompt_assembly",
     "base64_roundtrip",
-    # ======================= driver window boundary ==================
-    # Below: r3-green unchanged queries (CORRECTNESS_r03 rows stand as
-    # evidence) and the r1/r2 veterans next in rotation
-    # (rollup_counts / pivot_event_types / set_ops joined the
-    # next-in-line list when stream_stream_join + bm25_search +
-    # dedup_incremental took their window slots).
-    "rollup_counts",
-    "pivot_event_types",
-    "set_ops",
-    "simhash16",
-    "embedding_topk",
-    "lsh_topk",
-    "ivf_topk",
-    "deterministic_sample",
-    "top_terms",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q18",
-    "asof_join",
-    "range_join",
-    "value_quantiles",
-    "group_zscore",
-    "running_range_window",
-    "duplicate_groups",
-    "dedup_keep_canonical",
-    "line_dedup",
-    "gopher_quality",
-    "pii_redaction",
-    "decontamination",
-    "parse_pages",
-    "embedding_dup_pairs",
-    "stream_windowed_counts",
-    "stream_session_windows",
-    "hypertable_rollup",
-    "cms_estimates",
-    "lsh_dup_candidates",
-    "embedding_dup_pairs_lsh",
-    "warc_ingest",
-    "frame_sampling",
-    "split_pdf_payloads",
-    "merge_upsert",
-    "tpch_q4",
-    "tpch_q13",
-    "tpch_q19",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q22",
-    "stratified_sample",
-    "stream_first_seen",
-    "split_pages_udtf",
-    "audio_features",
-    "exact_dedup",
-    "minhash_signatures",
-    "ngram_jaccard",
-    "lang_id",
-    "quality_scores",
 ]
 
 if set(MANIFEST) != set(_DEFS):  # pragma: no cover - assembly guard
