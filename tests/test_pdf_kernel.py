@@ -454,6 +454,29 @@ def test_writer_aes_dialect_across_layouts():
         assert encrypt_pdf(plain, aes=True) == enc  # deterministic
 
 
+def test_partially_undecryptable_aes_errors():
+    """Round 5 (ADVICE r4): an AES stream whose ciphertext fails the
+    length/padding check leaves the DOCUMENT on the ERROR path — a
+    partial decrypt must not extract empty/garbage text."""
+    from westa_ocr_spark.kernel.pdf_mini import encrypt_pdf
+
+    enc = encrypt_pdf(write_pdf(["padding victim page"]), aes=True)
+    # truncate one encrypted stream body to a non-16-multiple:
+    # find a "stream\r\n...endstream" span and drop its last byte
+    s = enc.index(b"stream")
+    body_at = enc.index(b"\n", s) + 1
+    end_at = enc.index(b"endstream", body_at) - 1  # trailing newline
+    n = end_at - body_at
+    assert n % 16 == 0  # it was AES ciphertext
+    bad = enc[:body_at] + enc[body_at : end_at - 1] + enc[end_at:]
+    bad = bad.replace(
+        b"/Length " + str(n).encode(),
+        b"/Length " + str(n - 1).encode(), 1,
+    )
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_pages(bad)
+
+
 def test_aes256_v5_still_errors():
     """AES-256 (V5/R6) is out of scope and must keep the clean
     encrypted-ERROR path, never emit garbage."""

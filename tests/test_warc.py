@@ -287,7 +287,62 @@ def test_http_body_decodings():
             b"Transfer-Encoding: chunked\r\n\r\n" + chunks)
     assert parse_warc(rec(http))[0]["payload"] == doc
 
-    # broken gzip: raw body returned, no crash
+    # broken gzip: raw body returned WITH a decode error flagged
+    # (round 5: consumers turn this into an ERROR row, the framed
+    # bytes never masquerade as content)
     http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
             b"\x1f\x8bGARBAGE")
-    assert parse_warc(rec(http))[0]["payload"] == b"\x1f\x8bGARBAGE"
+    out = parse_warc(rec(http))[0]
+    assert out["payload"] == b"\x1f\x8bGARBAGE"
+    assert out["error"] and "gzip" in out["error"]
+    # clean records carry error=None
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + doc
+    assert parse_warc(rec(http))[0]["error"] is None
+
+
+def test_http_body_decoding_header_variants():
+    """Round 5 (ADVICE r4): coding LISTS, no-space colons, mixed case
+    and stacked codings in one header all decode; an unrecognized
+    coding is flagged as a decode error, not passed through raw."""
+    import gzip as _gzip
+
+    from westa_ocr_spark.sources.warc import parse_warc
+
+    doc = b"<html><body><p>variant encodings</p></body></html>"
+
+    def rec(http):
+        head = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://e.example/v\r\n"
+            b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+            + f"Content-Length: {len(http)}\r\n".encode()
+            + b"\r\n"
+        )
+        return head + http + b"\r\n\r\n"
+
+    # "Transfer-Encoding: gzip, chunked" list: applied gzip-then-
+    # chunked by the sender, so the receiver de-chunks then gunzips
+    gz = _gzip.compress(doc)
+    chunks = (b"%x\r\n" % len(gz)) + gz + b"\r\n0\r\n\r\n"
+    http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n\r\n"
+            + chunks)
+    out = parse_warc(rec(http))[0]
+    assert out["payload"] == doc and out["error"] is None
+
+    # no-space colon + mixed case
+    http = (b"HTTP/1.1 200 OK\r\ncontent-ENCODING:GZIP\r\n\r\n"
+            + _gzip.compress(doc))
+    out = parse_warc(rec(http))[0]
+    assert out["payload"] == doc and out["error"] is None
+
+    # x-gzip alias inside a list with identity
+    http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: identity, x-gzip\r\n\r\n"
+            + _gzip.compress(doc))
+    out = parse_warc(rec(http))[0]
+    assert out["payload"] == doc and out["error"] is None
+
+    # unrecognized coding (br is not shipped here): decode error
+    http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n"
+            b"\x00\x01\x02")
+    out = parse_warc(rec(http))[0]
+    assert out["error"] and "br" in out["error"]

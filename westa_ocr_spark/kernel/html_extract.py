@@ -327,10 +327,18 @@ from html.parser import (  # noqa: E402
     tagfind_tolerant as _tagfind,
 )
 
-_CDATA_CLOSE = {
-    t: re.compile(r"</\s*%s" % t, re.IGNORECASE)
-    for t in ("script", "style")
-}
+# Derive the cdata-close grammar from the RUNNING stdlib instead of
+# hardcoding one CPython version's regex (ADVICE r4): set_cdata_mode
+# compiles the pattern the stdlib feed path will actually use (this
+# interpreter: r"</\s*script\s*>"), so a stdlib upgrade cannot
+# silently break the fast-tokenizer byte-identity contract.
+def _stdlib_cdata_close(elem: str) -> re.Pattern[str]:
+    probe = HTMLParser()
+    probe.set_cdata_mode(elem)
+    return probe.interesting
+
+
+_CDATA_CLOSE = {t: _stdlib_cdata_close(t) for t in ("script", "style")}
 _AFTER_ATTRS = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/"
 )

@@ -832,6 +832,7 @@ class PdfDocument:
         self.objects: dict[int, object] = {}
         self.gens: dict[int, int] = {}
         self.decrypted = False
+        self.decrypt_failures = 0
         self._scan()
         # decryption must precede ObjStm expansion: object streams are
         # themselves encrypted, so expanding first would inflate
@@ -1057,9 +1058,15 @@ class PdfDocument:
                 plain = (_aes_cbc_decrypt(okey, val.raw) if aes
                          else _rc4(okey, val.raw))
             except ValueError:
-                continue  # leave undecryptable stream as-is
+                # ADVICE r4: a stream that fails AES length/padding
+                # checks stays ciphertext — counting it keeps the
+                # document on the honest ERROR path (pypdf would
+                # raise) instead of extracting empty/garbage text
+                # from a partially-undecryptable file.
+                self.decrypt_failures += 1
+                continue
             self.objects[num] = StreamObj(val.dict, plain)
-        self.decrypted = True
+        self.decrypted = self.decrypt_failures == 0
 
     def is_encrypted(self) -> bool:
         """True when a trailer (classic or xref-stream) names

@@ -346,8 +346,13 @@ def encrypt_pdf(data: bytes, *, r: int = 3, length: int = 128,
             cipher = _rc4(okey, payload)
         header = bytes(data[m.start() : s])
         if len(cipher) != len(payload):
+            # negative lookahead: never rewrite the indirect-reference
+            # form "/Length 6 0 R" — substituting its object number
+            # would silently point at a different object (ADVICE r4);
+            # this writer emits literal lengths, the guard keeps the
+            # patch safe if that ever changes.
             header = re.sub(
-                rb"/Length\s+\d+",
+                rb"/Length\s+\d+(?!\s+\d+\s+R)",
                 b"/Length " + str(len(cipher)).encode(),
                 header, count=1,
             )

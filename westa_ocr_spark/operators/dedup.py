@@ -676,6 +676,25 @@ def line_corpus_dedup(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# fingerprint-store bucketing: hive partition column for the
+# persistent store so incremental anti-joins prune to the batch's
+# buckets (and merges rewrite only affected buckets, O(delta))
+FP_BUCKET_COL = "fp_bucket"
+N_FP_BUCKETS = 64
+
+
+def _fp_bucket(fp_col):
+    return F.pmod(F.xxhash64(fp_col), F.lit(N_FP_BUCKETS)).cast("int")
+
+
+def fp_bucket_store(path: str):
+    """A ParquetTable laid out for :func:`dedup_against_store`'s
+    bucketed pre-pass: hive-partitioned on ``fp_bucket``."""
+    from westa_ocr_spark.sources.tables import ParquetTable
+
+    return ParquetTable(path, partition_by=FP_BUCKET_COL)
+
+
 def dedup_against_store(spark, docs: DataFrame, store,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
@@ -695,29 +714,63 @@ def dedup_against_store(spark, docs: DataFrame, store,
 
     ``store`` is any keyed table (ParquetTable locally, IcebergTable
     on a cluster) holding columns ``(fp, doc_id)`` keyed by ``fp``.
+    Prefer :func:`fp_bucket_store` — a store hive-partitioned on
+    ``fp_bucket`` gets the bucketed anti-join pre-pass (the batch
+    reads only its own buckets' fingerprints) and O(affected-bucket)
+    merges; an unpartitioned store still works, with a full
+    fp-column scan per batch.
     """
+    bucketed = getattr(store, "partition_by", None) == FP_BUCKET_COL
+    fp = fingerprint(F.col(text_col))
     fps = docs.select(
-        F.col(id_col).alias("doc_id"),
-        fingerprint(F.col(text_col)).alias("fp"),
+        F.col(id_col).alias("doc_id"), fp.alias("fp"),
     )
     canon = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    if store.exists():
-        known = store.read(spark).select("fp")
-        canon = canon.join(known, "fp", "left_anti")
-    # materialize BEFORE the merge swaps the store generation: the
-    # survivor plan must not lazily re-read files the commit deletes
+    buckets: list[int] = []
+    if bucketed:
+        canon = canon.withColumn(FP_BUCKET_COL, _fp_bucket(F.col("fp")))
+    # materialize the batch-internal dedup once: its distinct buckets
+    # drive store-scan pruning, and the plan must not re-read inputs
     canon = canon.localCheckpoint(eager=True)
+    if bucketed:
+        # bucketed pre-pass (VERDICT r4 #6): the store is
+        # hive-partitioned on pmod(xxhash64(fp), P), so an
+        # incremental batch anti-joins against ONLY its own buckets'
+        # fingerprint files — partition pruning bounds the per-batch
+        # store read to touched buckets instead of an O(store)
+        # fp-column scan (the dominant cost at 10^12-doc store
+        # scale). The bucket list is <= P ints, collected from the
+        # already-checkpointed batch.
+        buckets = [
+            r[0] for r in canon.select(FP_BUCKET_COL).distinct().collect()
+        ]
+    if store.exists():
+        known = store.read(spark)
+        if bucketed:
+            known = known.filter(F.col(FP_BUCKET_COL).isin(buckets))
+        canon = canon.join(known.select("fp"), "fp", "left_anti")
+        # materialize BEFORE the merge swaps the store generation: the
+        # survivor plan must not lazily re-read files the commit
+        # deletes
+        canon = canon.localCheckpoint(eager=True)
     # register FIRST, then derive the survivor set from the COMMITTED
     # store: at-least-once crash-retry returns the exact same
     # survivors (the retry's (fp, doc_id) pairs still match the rows
     # this batch registered), never double-admits a duplicate, and
     # never loses a batch whose commit landed before the crash
-    store.merge_upsert(spark, canon.select("fp", "doc_id"),
-                       keys=["fp"])
+    merge_cols = ["fp", "doc_id"] + ([FP_BUCKET_COL] if bucketed else [])
+    store.merge_upsert(spark, canon.select(*merge_cols), keys=["fp"])
+    post = store.read(spark)
+    if bucketed:
+        post = post.filter(F.col(FP_BUCKET_COL).isin(buckets))
     admitted = (
-        store.read(spark)
-        .join(fps, ["fp", "doc_id"], "left_semi")
+        post.join(fps, ["fp", "doc_id"], "left_semi")
         .select(F.col("doc_id").alias("__surv_id"))
+        # ADVICE r4: admitted ids are tiny but lazily read THIS store
+        # generation — checkpoint so a caller that defers evaluation
+        # past the next merge/compaction (which swap-deletes these
+        # files) still resolves the same survivor set
+        .localCheckpoint(eager=True)
     )
     survivors = _gated_broadcast(admitted)
     return docs.join(

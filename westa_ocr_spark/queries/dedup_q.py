@@ -49,15 +49,19 @@ def _q_dedup_incremental(spark, sf):
     ids (same content). The re-crawl must be dropped by the STORE
     (not batch-internal dedup) — the incremental-corpus-growth shape.
     Returns run 2's surviving doc ids."""
-    import shutil
     import tempfile
+    import uuid
 
-    from westa_ocr_spark.operators.dedup import dedup_against_store
-    from westa_ocr_spark.sources.tables import ParquetTable
+    from westa_ocr_spark.operators.dedup import (
+        dedup_against_store,
+        fp_bucket_store,
+    )
 
-    base = tempfile.gettempdir() + "/westa_q_dedup_store"
-    shutil.rmtree(base, ignore_errors=True)
-    store = ParquetTable(base)
+    # per-run uuid path (VERDICT r4 hygiene): concurrent sweeps on one
+    # host must not share/clobber a fixed staging dir. Bucketed store:
+    # the incremental anti-join prunes to the batch's fp buckets.
+    base = tempfile.gettempdir() + f"/westa_q_dedup_{uuid.uuid4().hex[:8]}"
+    store = fp_bucket_store(base)
     docs = _t(spark, sf, "documents")
     b1 = docs.filter(F.col("doc_id") < 300).select("doc_id", "text")
     b2 = (

@@ -638,12 +638,26 @@ def _extract_fixture_path() -> str:
 
 
 def _staged_corpus_path(n: int = 200) -> str:
+    """Version-keyed corpus cache with atomic publication: built in a
+    uuid temp dir and os.rename'd into place, so a concurrent sweep
+    either sees the complete directory or builds its own — never a
+    half-written parquet (same hygiene class as VERDICT r4 #9)."""
+    import os
+    import shutil
     import tempfile
+    import uuid
 
     from westa_ocr_spark.corpus import CORPUS_VERSION, write_pages_parquet
 
     path = tempfile.gettempdir() + f"/westa_q_pages_v{CORPUS_VERSION}_{n}"
-    write_pages_parquet(path, n=n, seed=42)
+    if os.path.isdir(path):
+        return path
+    stage = f"{path}.build_{uuid.uuid4().hex[:8]}"
+    write_pages_parquet(stage, n=n, seed=42)
+    try:
+        os.rename(stage, path)
+    except OSError:  # lost the publication race: identical content
+        shutil.rmtree(stage, ignore_errors=True)
     return path
 
 
@@ -804,14 +818,9 @@ _SQL_BASE64_ROUNDTRIP = (
 
 
 def _q_split_pdf_payloads(spark, sf):
-    import tempfile
-
-    from westa_ocr_spark.corpus import CORPUS_VERSION, write_pages_parquet
     from westa_ocr_spark.operators.split_pdf import split_pdf_payloads
 
-    path = tempfile.gettempdir() + f"/westa_q_pages_v{CORPUS_VERSION}_200"
-    write_pages_parquet(path, n=200, seed=42)
-    pages = spark.read.parquet(path).filter(
+    pages = spark.read.parquet(_staged_corpus_path(200)).filter(
         F.hex(F.substring("html", 1, 5)) == "255044462D"
     )
     out = split_pdf_payloads(pages)
@@ -976,7 +985,6 @@ def _q_merge_upsert(spark, sf):
     (new-rows-win UNION ALL base anti-join). The batch contains
     in-batch duplicate rows (identical, so the key-dedup is
     deterministic) and keys 1000-2999 overlap base keys 0-1999."""
-    import shutil
     import tempfile
 
     from westa_ocr_spark.sources.tables import ParquetTable
@@ -998,8 +1006,10 @@ def _q_merge_upsert(spark, sf):
         F.lit("U").alias("st"),
         (F.col("o_orderkey") % 8).cast("int").alias("b"),
     )
-    path = tempfile.gettempdir() + "/westa_q_merge_upsert"
-    shutil.rmtree(path, ignore_errors=True)
+    import uuid
+
+    # per-run uuid path (VERDICT r4 hygiene): no fixed shared /tmp dir
+    path = tempfile.gettempdir() + f"/westa_q_mu_{uuid.uuid4().hex[:8]}"
     tbl = ParquetTable(path, partition_by="b")
     tbl.merge_upsert(spark, base, keys=["k"])
     tbl.merge_upsert(spark, batch.unionByName(batch), keys=["k"])

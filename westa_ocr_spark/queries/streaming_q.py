@@ -77,7 +77,6 @@ def _q_stream_first_seen(spark, sf):
     a custom stateful operator DuckDB-verifiable). Keys are the
     events' user ids; 500 users x ~20 events each."""
     import tempfile
-    import shutil
 
     from westa_ocr_spark.streaming.stateful import start_first_seen_stream
 
@@ -85,8 +84,10 @@ def _q_stream_first_seen(spark, sf):
         F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
         F.col("ts").cast("timestamp").alias("ts"),
     )
-    base = tempfile.gettempdir() + "/westa_q_first_seen"
-    shutil.rmtree(base, ignore_errors=True)
+    import uuid
+
+    # per-run uuid path (VERDICT r4 hygiene): no fixed shared /tmp dir
+    base = tempfile.gettempdir() + f"/westa_q_fs_{uuid.uuid4().hex[:8]}"
     src, out = f"{base}/src", f"{base}/out"
     ev.coalesce(1).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
@@ -119,15 +120,15 @@ def _q_stream_stream_join(spark, sf):
     drain equals the batch self-join — which is exactly what the
     DuckDB oracle computes. ts cast from NTZ first (no watermark
     support on TIMESTAMP_NTZ)."""
-    import shutil
     import tempfile
+    import uuid
 
     ev = _t(spark, sf, "events").select(
         "event_id", "user_id", "event_type",
         F.col("ts").cast("timestamp").alias("ts"),
     )
-    base = tempfile.gettempdir() + "/westa_q_ss_join"
-    shutil.rmtree(base, ignore_errors=True)
+    # per-run uuid path (VERDICT r4 hygiene): no fixed shared /tmp dir
+    base = tempfile.gettempdir() + f"/westa_q_ssj_{uuid.uuid4().hex[:8]}"
     src, out, chk = f"{base}/src", f"{base}/out", f"{base}/chk"
     ev.coalesce(1).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema

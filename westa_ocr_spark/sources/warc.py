@@ -121,35 +121,90 @@ def _dechunk(body: bytes) -> bytes:
     return bytes(out)
 
 
-def _strip_http_headers(block: bytes) -> bytes:
+def _parse_http_headers(raw: bytes) -> dict[bytes, bytes]:
+    """HTTP header section -> {lowercased-name: value} (round 5,
+    ADVICE r4: real captures say ``Transfer-Encoding:gzip, chunked``
+    with arbitrary case/spacing, which exact-substring matching
+    missed). Duplicate headers join with commas (RFC 9110 §5.2);
+    obs-fold continuation lines append to the previous value."""
+    headers: dict[bytes, bytes] = {}
+    last: bytes | None = None
+    for line in raw.split(b"\r\n")[1:]:  # [0] is the status line
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last is not None:
+            headers[last] += b" " + line.strip()
+            continue
+        name, _, value = line.partition(b":")
+        if not _:
+            continue
+        key = name.strip().lower()
+        value = value.strip()
+        headers[key] = (
+            headers[key] + b", " + value if key in headers else value
+        )
+        last = key
+    return headers
+
+
+def _inflate(body: bytes) -> bytes:
+    try:
+        return zlib.decompress(body)
+    except zlib.error:
+        return zlib.decompress(body, -15)  # raw deflate
+
+
+def _decode_http_body(headers: dict[bytes, bytes], body: bytes) -> bytes:
+    """Apply Transfer-Encoding then Content-Encoding coding lists, in
+    reverse application order (RFC 9112 §6.1 / 9110 §8.4). An
+    unrecognized coding raises — the caller turns that into an honest
+    per-record ERROR instead of passing framed/compressed bytes
+    downstream as if they were content (ADVICE r4)."""
+    for header in (b"transfer-encoding", b"content-encoding"):
+        value = headers.get(header)
+        if not value:
+            continue
+        codings = [c.strip().lower() for c in value.split(b",") if c.strip()]
+        for coding in reversed(codings):
+            try:
+                if coding == b"chunked":
+                    body = _dechunk(body)
+                elif coding in (b"gzip", b"x-gzip"):
+                    body = gzip.decompress(body)
+                elif coding == b"deflate":
+                    body = _inflate(body)
+                elif coding in (b"identity", b"none"):
+                    pass
+                else:
+                    raise ValueError(
+                        "warc: unsupported "
+                        f"{header.decode()} coding {coding.decode()!r}"
+                    )
+            except (OSError, EOFError, zlib.error) as exc:
+                raise ValueError(
+                    f"warc: {coding.decode()} body decode failed: {exc}"
+                ) from exc
+    return body
+
+
+def _strip_http_headers(block: bytes) -> tuple[bytes, str | None]:
     """For response records the block is an HTTP message; the payload
-    starts after its header section. Round 4: bodies carried with
-    ``Transfer-Encoding: chunked`` are de-chunked and
-    ``Content-Encoding: gzip``/``deflate`` bodies are decompressed —
-    both common in real crawl captures; undecodable bodies fall back
-    to the raw bytes (the per-row ERROR path downstream reports them
-    honestly rather than this parser guessing)."""
+    starts after its header section. Returns ``(body, error)``:
+    chunked transfer framing is removed and gzip/deflate content
+    codings decompressed (coding LISTS and header-case variants
+    handled, round 5); a failed or unrecognized coding returns the
+    raw body plus an error message so the record surfaces as an ERROR
+    row rather than leaking framing bytes into extracted text."""
     if not block.startswith(b"HTTP/"):
-        return block
+        return block, None
     sep = block.find(_CRLF + _CRLF)
     if sep < 0:
-        return block
-    headers = block[:sep].lower()
+        return block, None
     body = block[sep + 4 :]
     try:
-        if b"transfer-encoding: chunked" in headers:
-            body = _dechunk(body)
-        if (b"content-encoding: gzip" in headers
-                or b"content-encoding: x-gzip" in headers):
-            body = gzip.decompress(body)
-        elif b"content-encoding: deflate" in headers:
-            try:
-                body = zlib.decompress(body)
-            except zlib.error:
-                body = zlib.decompress(body, -15)  # raw deflate
-    except (ValueError, OSError, EOFError):
-        return block[sep + 4 :]  # honest fallback: raw body
-    return body
+        return _decode_http_body(_parse_http_headers(block[:sep]), body), None
+    except ValueError as exc:
+        return body, str(exc)
 
 
 def parse_warc(data: bytes) -> list[dict]:
@@ -175,14 +230,16 @@ def parse_warc(data: bytes) -> list[dict]:
             h = rec["headers"]
             rtype = h.get("warc-type", "unknown")
             payload = rec["block"]
+            error = None
             if rtype == "response":
-                payload = _strip_http_headers(payload)
+                payload, error = _strip_http_headers(payload)
             out.append(
                 {
                     "type": rtype,
                     "url": h.get("warc-target-uri"),
                     "date": h.get("warc-date"),
                     "payload": payload,
+                    "error": error,
                 }
             )
     return out
@@ -251,17 +308,25 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
                     for rec in parse_warc(bytes(content)):
                         if rec["type"] != "response":
                             continue
+                        # a failed body decoding is a per-RECORD error
+                        # row (html withheld: the raw bytes are framing
+                        # noise, not content)
+                        decode_err = rec.get("error")
                         rows.append(
                             {
                                 "url": rec["url"],
                                 "warc_ts": _warc_ts(rec["date"]),
-                                "html": rec["payload"],
+                                "html": (
+                                    None if decode_err else rec["payload"]
+                                ),
                                 "text": "",
                                 "lang": "",
                                 "warc_file": fpath,
                                 "record_type": rec["type"],
-                                "status": "OK",
-                                "error": None,
+                                "status": (
+                                    "ERROR" if decode_err else "OK"
+                                ),
+                                "error": decode_err,
                             }
                         )
                 except ValueError as exc:

@@ -155,16 +155,17 @@ class WarcReader(DataSourceReader):
                     )
                 ):
                     continue
+                decode_err = rec.get("error")
                 yield (
                     url,
                     _warc_ts(rec["date"]),
-                    rec["payload"],
+                    None if decode_err else rec["payload"],
                     "",
                     "",
                     fpath,
                     rec["type"],
-                    "OK",
-                    None,
+                    "ERROR" if decode_err else "OK",
+                    decode_err,
                 )
         except ValueError as exc:
             if self._url_preds:
