@@ -454,6 +454,71 @@ def test_writer_aes_dialect_across_layouts():
         assert encrypt_pdf(plain, aes=True) == enc  # deterministic
 
 
+def test_font_differences_and_tounicode_dialects():
+    """Round 5 (VERDICT r4 #2): custom-encoded fonts — /Encoding
+    /Differences arrays and /ToUnicode CMaps — extract byte-
+    identically; the raw bytes are font codes, so a parser ignoring
+    the maps would emit mis-mapped characters."""
+    from westa_ocr_spark.kernel.pdf_mini import encrypt_pdf
+
+    pages = ["The quick brown fox. jumps\nover the lazy dog.",
+             "second page aeiou text."]
+    for kw in ({"font_differences": True}, {"tounicode": True},
+               {"font_differences": True, "compress": True},
+               {"tounicode": True, "compress": True, "tj_arrays": True}):
+        pdf = write_pdf(pages, **kw)
+        assert extract_pdf_pages(pdf) == pages, kw
+        assert write_pdf(pages, **kw) == pdf  # deterministic
+        if not kw.get("compress"):
+            # remapped vowels: the plain text is NOT in the bytes
+            assert b"quick brown" not in pdf
+    # custom encoding stacked under AES encryption
+    enc = encrypt_pdf(
+        write_pdf(pages, font_differences=True, compress=True), aes=True
+    )
+    assert extract_pdf_pages(enc) == pages
+
+
+def test_tounicode_cmap_parser_forms():
+    """bfchar, bfrange-with-base (incl. multi-char UTF-16 dst),
+    bfrange-with-array, and codespacerange width detection."""
+    from westa_ocr_spark.kernel.pdf_core import parse_tounicode
+
+    cmap = (
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0041> <0061>\n<0042> <00E9>\nendbfchar\n"
+        b"1 beginbfrange\n<0050> <0052> <0070>\nendbfrange\n"
+        b"1 beginbfrange\n<0060> <0061> [<0078> <0079>]\nendbfrange\n"
+    )
+    mapping, width = parse_tounicode(cmap)
+    assert width == 2
+    assert mapping[0x41] == "a" and mapping[0x42] == "\xe9"
+    assert [mapping[c] for c in (0x50, 0x51, 0x52)] == ["p", "q", "r"]
+    assert mapping[0x60] == "x" and mapping[0x61] == "y"
+
+
+def test_type0_tounicode_decoding():
+    """A Type0 font with 2-byte codes + ToUnicode decodes through the
+    CID map (the common subsetted-CJK layout)."""
+    from westa_ocr_spark.kernel.pdf_core import FontDecoder
+
+    mapping = {0x0001: "日", 0x0002: "本", 0x0003: "語"}
+    dec = FontDecoder(cid_map=mapping, width=2)
+    assert dec.decode(b"\x00\x01\x00\x02\x00\x03") == "日本語"
+    assert dec.decode(b"\x00\x09") == "�"  # unmapped -> U+FFFD
+
+
+def test_glyph_name_resolution():
+    from westa_ocr_spark.kernel.pdf_core import _glyph_to_char
+
+    assert _glyph_to_char("a") == "a"
+    assert _glyph_to_char("space") == " "
+    assert _glyph_to_char("eacute") == "\xe9"
+    assert _glyph_to_char("uni0041") == "A"
+    assert _glyph_to_char("u1F600") == "\U0001f600"
+    assert _glyph_to_char("nosuchglyph") is None
+
+
 def test_partially_undecryptable_aes_errors():
     """Round 5 (ADVICE r4): an AES stream whose ciphertext fails the
     length/padding check leaves the DOCUMENT on the ERROR path — a

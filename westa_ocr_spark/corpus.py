@@ -176,20 +176,22 @@ def make_html(i: int, seed: int = 42, oversized: bool = False) -> bytes:
 
 
 def make_pdf(i: int, seed: int = 42) -> bytes:
-    """PDF docs cycle through real-world dialects (corpus v6): classic
+    """PDF docs cycle through real-world dialects (corpus v7): classic
     uncompressed, FlateDecode'd, TJ-array show text, PDF 1.5
-    object-stream/xref-stream layouts, and the three encrypted
+    object-stream/xref-stream layouts, the three encrypted
     empty-user-password classes pypdf opens silently — RC4 (R3),
-    AES-128 (V4/R4 AESV2) and AES-256 (V5/R6 AESV3, round 4) — so
-    the pipeline's PDF path is exercised against the full range of
-    pypdf-class documents. Extracted text is dialect-independent, so
-    the pinned byte goldens hold across corpus versions."""
+    AES-128 (V4/R4 AESV2), AES-256 (V5/R6 AESV3) — and, new in v7,
+    custom-encoded fonts via /Encoding /Differences and /ToUnicode
+    CMaps (text bytes are font codes, not latin-1), so the pipeline's
+    PDF path is exercised against the full range of pypdf-class
+    documents. Extracted text is dialect-independent, so the pinned
+    byte goldens hold across corpus versions."""
     n_pages = 1 + _hint(i, "pp", 3, seed)  # 1..3 pages
     pages = [
         "\n".join(_sentence(i, p * 100 + line, 7, seed) for line in range(3))
         for p in range(n_pages)
     ]
-    dialect = _hint(i, "pd", 7, seed)
+    dialect = _hint(i, "pd", 9, seed)
     if dialect == 1:
         return write_pdf(pages, compress=True)
     if dialect == 2:
@@ -202,6 +204,10 @@ def make_pdf(i: int, seed: int = 42) -> bytes:
         return encrypt_pdf(write_pdf(pages, compress=True), aes=True)
     if dialect == 6:
         return encrypt_pdf(write_pdf(pages, compress=True), aes256=True)
+    if dialect == 7:  # round 5: /Encoding /Differences custom codes
+        return write_pdf(pages, font_differences=True, compress=True)
+    if dialect == 8:  # round 5: /ToUnicode CMap custom codes
+        return write_pdf(pages, tounicode=True, compress=True)
     return write_pdf(pages)
 
 

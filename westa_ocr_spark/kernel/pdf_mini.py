@@ -52,7 +52,27 @@ def _enc(line: str) -> str:
     )
 
 
-def _content_stream(page_text: str, tj_arrays: bool) -> bytes:
+def _enc_mapped(line: str, encode_map: dict[str, int]) -> str:
+    """Encode text through a custom font-code map: mapped chars emit
+    their assigned code (octal-escaped when non-printable), unmapped
+    chars their latin-1 code."""
+    out = []
+    for ch in line:
+        code = encode_map.get(ch, ord(ch))
+        if code > 255:
+            raise ValueError(f"unencodable char {ch!r} for custom font")
+        if 32 <= code < 127 and chr(code) not in _ESCAPES:
+            out.append(chr(code))
+        else:
+            out.append(f"\\{code:03o}")  # specials + non-printables
+    return "".join(out)
+
+
+def _content_stream(page_text: str, tj_arrays: bool,
+                    encode_map: dict[str, int] | None = None) -> bytes:
+    def enc(seg: str) -> str:
+        return _enc_mapped(seg, encode_map) if encode_map else _enc(seg)
+
     lines = page_text.split("\n")
     ops = ["BT /F1 12 Tf 72 720 Td"]
     for k, line in enumerate(lines):
@@ -61,12 +81,51 @@ def _content_stream(page_text: str, tj_arrays: bool) -> bytes:
         if tj_arrays and len(line) >= 2:
             mid = len(line) // 2
             ops.append(
-                f"[({_enc(line[:mid])}) -12 ({_enc(line[mid:])})] TJ"
+                f"[({enc(line[:mid])}) -12 ({enc(line[mid:])})] TJ"
             )
         else:
-            ops.append(f"({_enc(line)}) Tj")
+            ops.append(f"({enc(line)}) Tj")
     ops.append("ET")
     return " ".join(ops).encode("latin-1")
+
+
+# Custom-encoding dialects (round 5): remap the vowels and '.' to
+# codes 0x80.. so the text bytes are FONT CODES, not latin-1 — a
+# parser ignoring /Differences or /ToUnicode extracts mis-mapped
+# characters (exactly the real-world subsetted-font failure mode
+# VERDICT r4 #2 names).
+_REMAP_CHARS = "aeiou."
+_REMAP: dict[str, int] = {
+    ch: 0x80 + k for k, ch in enumerate(_REMAP_CHARS)
+}
+
+
+def _differences_array() -> str:
+    # letters use their AGL names (name == char); '.' uses the
+    # uniXXXX form so both glyph-name paths are exercised
+    names = [
+        ch if ch.isalpha() else f"uni{ord(ch):04X}" for ch in _REMAP_CHARS
+    ]
+    return f"[{0x80} " + " ".join(f"/{n}" for n in names) + "]"
+
+
+def _tounicode_cmap() -> bytes:
+    """Minimal ToUnicode CMap: identity bfrange for printable ASCII +
+    bfchar entries for the remapped 0x80.. codes."""
+    bfchars = "\n".join(
+        f"<{0x80 + k:02X}> <{ord(ch):04X}>"
+        for k, ch in enumerate(_REMAP_CHARS)
+    )
+    return (
+        "/CIDInit /ProcSet findresource begin\n"
+        "12 dict begin\nbegincmap\n"
+        "/CMapName /Custom def\n/CMapType 2 def\n"
+        "1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        "1 beginbfrange\n<20> <7E> <0020>\nendbfrange\n"
+        f"{len(_REMAP_CHARS)} beginbfchar\n{bfchars}\nendbfchar\n"
+        "endcmap\nCMapName currentdict /CMap defineresource pop\n"
+        "end\nend"
+    ).encode("latin-1")
 
 
 def _stream_obj(payload: bytes, compress: bool,
@@ -87,26 +146,47 @@ def write_pdf(
     compress: bool = False,
     tj_arrays: bool = False,
     objstm: bool = False,
+    font_differences: bool = False,
+    tounicode: bool = False,
 ) -> bytes:
     """Serialize a list of page texts into a valid PDF (see module doc).
 
     Text is encoded latin-1-escaped (non-latin-1 chars become octal
     escapes of their UTF-8 bytes so the round trip is byte-exact at
     the UTF-8 level). Deterministic for a given input + flags.
+
+    Round-5 dialects (custom font codes — text bytes are NOT latin-1):
+
+    * ``font_differences``: /Encoding dict with /BaseEncoding
+      /WinAnsiEncoding and a /Differences array remapping the vowels
+      and '.' to codes 0x80.. (AGL letter names + a uniXXXX name);
+    * ``tounicode``: same remap declared via a /ToUnicode CMap stream
+      (identity bfrange for ASCII + bfchar entries for the remap).
     """
     if objstm:
         return _write_pdf_objstm(pages, tj_arrays=tj_arrays)
+    custom = font_differences or tounicode
+    encode_map = _REMAP if custom else None
     n = len(pages)
     objects: list[bytes] = []
 
     # obj 1: catalog, obj 2: pages, obj 3: font,
     # obj 4+2i: page i, obj 5+2i: content stream i
+    # (+ obj 4+2n: ToUnicode CMap stream when tounicode)
     kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objects.append(
         f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode("latin-1")
     )
-    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    font = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+    if font_differences:
+        font += (
+            " /Encoding << /Type /Encoding /BaseEncoding"
+            f" /WinAnsiEncoding /Differences {_differences_array()} >>"
+        )
+    if tounicode:
+        font += f" /ToUnicode {4 + 2 * n} 0 R"
+    objects.append((font + " >>").encode("latin-1"))
 
     for i, page_text in enumerate(pages):
         objects.append(
@@ -115,8 +195,12 @@ def write_pdf(
             f"/Resources << /Font << /F1 3 0 R >> >> >>".encode("latin-1")
         )
         objects.append(
-            _stream_obj(_content_stream(page_text, tj_arrays), compress)
+            _stream_obj(
+                _content_stream(page_text, tj_arrays, encode_map), compress
+            )
         )
+    if tounicode:
+        objects.append(_stream_obj(_tounicode_cmap(), compress))
 
     buf = bytearray(b"%PDF-1.4\n")
     offsets = [0]
@@ -427,4 +511,7 @@ def extract_pdf_pages(data: bytes) -> list[str]:
     doc = PdfDocument(data)
     if doc.is_encrypted():
         raise ValueError("encrypted PDF (decryption not supported)")
-    return [content_text(doc.page_content(p)) for p in doc.pages()]
+    return [
+        content_text(doc.page_content(p), fonts=doc.page_fonts(p))
+        for p in doc.pages()
+    ]
