@@ -726,13 +726,47 @@ def test_media_features_query_covers_color_legs(spark):
 
     rows = _q_media_features(spark, "/root/testdata/sf0.001").collect()
     by_url = {r["url"]: r for r in rows}
-    # i%8: 3=420 color, 4=444 color, 5=progressive color, 6=restart
+    # i%10: 3=420 color, 4=444 color, 5=progressive color, 6=restart
     for u in ("doc://3", "doc://4", "doc://5", "doc://6"):
         r = by_url[u]
         assert r["status"] == "DONE" and r["kind"] == "jpeg", u
         assert r["feature_sig"] and "|" in r["feature_sig"]
-    err = by_url["doc://7"]
+    # round 5: interlaced legs decode to DONE with signatures equal to
+    # their sequential twins' pixel stats
+    adam7 = by_url["doc://7"]
+    assert adam7["status"] == "DONE" and adam7["kind"] == "png"
+    igif = by_url["doc://8"]
+    assert igif["status"] == "DONE" and igif["kind"] == "gif"
+    err = by_url["doc://9"]
     assert err["status"] == "ERROR"
+
+
+def test_interlaced_twins_pixel_identical():
+    """Round 5 (VERDICT r4 #8): Adam7 PNG and interlaced /
+    local-color-table GIF decode pixel-identically to their
+    sequential twins across awkward dimensions (1-pixel, sub-pass
+    sizes, non-multiples of 8)."""
+    import numpy as np
+
+    from westa_ocr_spark.operators import multimodal as mm
+
+    for w, h in [(16, 16), (17, 23), (1, 1), (7, 3), (8, 1), (3, 9),
+                 (33, 47)]:
+        seq = mm.decode_png_pixels(mm.write_png(w, h))
+        adam = mm.decode_png_pixels(mm.write_png(w, h, interlace=True))
+        assert np.array_equal(seq, adam), ("png", w, h)
+        g = mm.decode_gif_pixels(mm.write_gif(w, h))
+        for kw in ({"interlace": True}, {"local_palette": True},
+                   {"interlace": True, "local_palette": True}):
+            got = mm.decode_gif_pixels(mm.write_gif(w, h, **kw))
+            assert np.array_equal(g, got), ("gif", w, h, kw)
+    # pinned golden stats for one interlaced pair (codec drift gate)
+    feat = mm.png_pixel_features(mm.write_png(20, 14, interlace=True))
+    assert feat == mm.png_pixel_features(mm.write_png(20, 14))
+    gfeat = mm.gif_pixel_features(
+        mm.write_gif(20, 14, interlace=True, local_palette=True)
+    )
+    assert gfeat == mm.gif_pixel_features(mm.write_gif(20, 14))
 
 
 def test_jpeg_restart_markers_roundtrip():

@@ -140,13 +140,34 @@ def _png_chunk(typ: bytes, payload: bytes) -> bytes:
     )
 
 
-def write_png(width: int, height: int) -> bytes:
+def write_png(width: int, height: int, interlace: bool = False) -> bytes:
     """Real minimal grayscale PNG (correct CRCs, zlib IDAT) with
-    deterministic content derived from the dimensions."""
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(
-        b"\x00" + bytes((x * 31 + y * 17) % 256 for x in range(width))
-        for y in range(height)
+    deterministic content derived from the dimensions.
+    ``interlace=True`` emits the same pixels Adam7-interlaced
+    (round 5): seven independently-filtered passes in spec order."""
+
+    def pix(x: int, y: int) -> int:
+        return (x * 31 + y * 17) % 256
+
+    if not interlace:
+        raw = b"".join(
+            b"\x00" + bytes(pix(x, y) for x in range(width))
+            for y in range(height)
+        )
+    else:
+        passes = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            for py in range(ph):
+                passes += b"\x00" + bytes(
+                    pix(x0 + px_ * dx, y0 + py * dy) for px_ in range(pw)
+                )
+        raw = bytes(passes)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 0, 0, 0, 1 if interlace else 0
     )
     return (
         b"\x89PNG\r\n\x1a\n"
@@ -263,18 +284,37 @@ def _gif_lzw_encode(indices: list[int], min_code: int) -> bytes:
 _GIF_PALETTE = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
 
 
-def write_gif(width: int, height: int) -> bytes:
-    """REAL GIF89a: logical screen descriptor, 4-color global color
-    table, image descriptor, and an LZW-compressed index raster with
+def write_gif(width: int, height: int, interlace: bool = False,
+              local_palette: bool = False) -> bytes:
+    """REAL GIF89a: logical screen descriptor, 4-color color table,
+    image descriptor, and an LZW-compressed index raster with
     deterministic content derived from the dimensions (round 3 — the
-    previous writer emitted a header-only file with no image data)."""
-    # packed: GCT flag set, 1-bit color resolution, GCT size 4 (2^2)
-    lsd = struct.pack("<HHBBB", width, height, 0b10000001, 0, 0)
-    gct = b"".join(bytes(c) for c in _GIF_PALETTE)
-    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    previous writer emitted a header-only file with no image data).
+    Round 5: ``interlace`` stores rows in the 4-pass order;
+    ``local_palette`` moves the table into the image descriptor (no
+    global table at all — the stricter layout)."""
+    # LCT size bits = 1 -> 2<<1 = 4 entries, matching _GIF_PALETTE
+    ipacked = (0x40 if interlace else 0) | (0x81 if local_palette else 0)
+    if local_palette:
+        lsd = struct.pack("<HHBBB", width, height, 0, 0, 0)
+        gct = b""
+        lct = b"".join(bytes(c) for c in _GIF_PALETTE)
+    else:
+        # packed: GCT flag set, 1-bit color res, GCT size 4 (2^2)
+        lsd = struct.pack("<HHBBB", width, height, 0b10000001, 0, 0)
+        gct = b"".join(bytes(c) for c in _GIF_PALETTE)
+        lct = b""
+    img_desc = (
+        b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, ipacked) + lct
+    )
+    row_order = (
+        [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+         for y in range(start, height, step)]
+        if interlace else range(height)
+    )
     indices = [
         (x * 7 + y * 3) % len(_GIF_PALETTE)
-        for y in range(height) for x in range(width)
+        for y in row_order for x in range(width)
     ]
     lzw = _gif_lzw_encode(indices, min_code=2)
     sub_blocks = bytearray()
@@ -290,8 +330,9 @@ def write_gif(width: int, height: int) -> bytes:
 def decode_gif_pixels(data: bytes):
     """REAL GIF pixel decode, pure stdlib + numpy: LSB-first
     variable-width LZW over the first image block, palette-mapped to
-    an (h, w, 3) uint8 array. Non-interlaced, global-color-table GIFs
-    (the common web case); anything else raises ``ValueError``."""
+    an (h, w, 3) uint8 array. Round 5: interlaced rasters
+    (4-pass row reorder) and local color tables decode too; a GIF
+    with neither a global nor a local table raises ``ValueError``."""
     import numpy as np
 
     if data[:6] not in (b"GIF87a", b"GIF89a"):
@@ -300,13 +341,13 @@ def decode_gif_pixels(data: bytes):
         raise ValueError("corrupt GIF (truncated descriptor)")
     sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
-    if not packed & 0x80:
-        raise ValueError("unsupported GIF (no global color table)")
-    gct_n = 2 << (packed & 0x07)
-    pal = np.frombuffer(
-        data[pos : pos + 3 * gct_n], dtype=np.uint8
-    ).reshape(-1, 3)
-    pos += 3 * gct_n
+    pal = None
+    if packed & 0x80:
+        gct_n = 2 << (packed & 0x07)
+        pal = np.frombuffer(
+            data[pos : pos + 3 * gct_n], dtype=np.uint8
+        ).reshape(-1, 3)
+        pos += 3 * gct_n
     while pos < len(data):
         b = data[pos]
         if b == 0x21:  # extension: skip label + sub-blocks
@@ -323,11 +364,16 @@ def decode_gif_pixels(data: bytes):
     if pos >= len(data) or data[pos] != 0x2C:
         raise ValueError("corrupt GIF (no image descriptor)")
     _l, _t, w, h, ipacked = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
-    if ipacked & 0x40:
-        raise ValueError("unsupported GIF (interlaced)")
-    if ipacked & 0x80:
-        raise ValueError("unsupported GIF (local color table)")
+    interlaced = bool(ipacked & 0x40)
     pos += 10
+    if ipacked & 0x80:  # local color table overrides the global one
+        lct_n = 2 << (ipacked & 0x07)
+        pal = np.frombuffer(
+            data[pos : pos + 3 * lct_n], dtype=np.uint8
+        ).reshape(-1, 3)
+        pos += 3 * lct_n
+    if pal is None:
+        raise ValueError("unsupported GIF (no color table)")
     min_code = data[pos]
     pos += 1
     lzw = bytearray()
@@ -381,7 +427,18 @@ def decode_gif_pixels(data: bytes):
     idx = np.frombuffer(bytes(out[: w * h]), dtype=np.uint8)
     if int(idx.max(initial=0)) >= pal.shape[0]:
         raise ValueError("corrupt GIF (palette index out of range)")
-    return pal[idx].reshape(h, w, 3)
+    rows = pal[idx].reshape(h, w, 3)
+    if interlaced:
+        # 4-pass row interleave (GIF89a spec appendix E): rows were
+        # stored pass-major; scatter them back to display order
+        deinter = np.zeros_like(rows)
+        src = 0
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            n_rows = len(range(start, h, step))
+            deinter[start::step] = rows[src : src + n_rows]
+            src += n_rows
+        rows = deinter
+    return rows
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -394,14 +451,65 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw, h: int, stride: int, bpp: int, offset: int = 0):
+    """Undo per-scanline PNG filters over ``h`` scanlines of
+    ``stride`` bytes starting at ``offset`` (each preceded by its
+    filter byte). Returns an (h, stride) uint8 array; shared by the
+    sequential and Adam7 paths (each interlace pass is filtered as an
+    independent image)."""
+    import numpy as np
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        at = offset + y * (stride + 1)
+        ftype = raw[at]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=at + 1
+        ).copy()
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 1:  # Sub: left neighbor (sequential in x)
+            acc = line.astype(np.int64)
+            for x in range(bpp, stride):
+                acc[x] = (acc[x] + acc[x - bpp]) & 0xFF
+            out[y] = acc.astype(np.uint8)
+        elif ftype == 2:  # Up: fully vectorized
+            out[y] = line + prev
+        elif ftype == 3:  # Average
+            acc = line.astype(np.int64)
+            for x in range(stride):
+                left = acc[x - bpp] if x >= bpp else 0
+                acc[x] = (acc[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+            out[y] = acc.astype(np.uint8)
+        elif ftype == 4:  # Paeth
+            acc = line.astype(np.int64)
+            for x in range(stride):
+                left = int(acc[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                acc[x] = (acc[x] + _paeth(left, up, ul)) & 0xFF
+            out[y] = acc.astype(np.uint8)
+        else:
+            raise ValueError(f"corrupt PNG (filter type {ftype})")
+    return out
+
+
 def decode_png_pixels(data: bytes):
     """REAL PNG pixel decode, pure stdlib + numpy: zlib-inflate the
     IDAT stream, undo the per-scanline filters (None/Sub/Up/Average/
     Paeth), and return an (h, w, channels) uint8 array. Supports
     bit-depth 8, color types 0 (gray), 2 (RGB), 3 (palette -> RGB),
-    4 (gray+alpha), 6 (RGBA), non-interlaced — the overwhelming bulk
-    of web PNGs. Anything else raises ``ValueError`` (per-row ERROR
-    capture upstream)."""
+    4 (gray+alpha), 6 (RGBA), sequential AND Adam7-interlaced
+    (round 5) — the overwhelming bulk of web PNGs. Anything else
+    raises ``ValueError`` (per-row ERROR capture upstream)."""
     import numpy as np
 
     if data[:8] != b"\x89PNG\r\n\x1a\n":
@@ -432,8 +540,8 @@ def decode_png_pixels(data: bytes):
     )
     if depth != 8:
         raise ValueError(f"unsupported PNG bit depth {depth}")
-    if interlace != 0:
-        raise ValueError("unsupported PNG (Adam7 interlace)")
+    if interlace not in (0, 1):
+        raise ValueError(f"corrupt PNG (interlace method {interlace})")
     if comp != 0 or filt != 0:
         raise ValueError("corrupt PNG (bad compression/filter method)")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
@@ -441,42 +549,29 @@ def decode_png_pixels(data: bytes):
         raise ValueError(f"unsupported PNG color type {ctype}")
     raw = zlib.decompress(bytes(idat))
     stride = w * channels
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("corrupt PNG (IDAT size mismatch)")
-    out = np.zeros((h, stride), dtype=np.uint8)
     bpp = channels  # bytes per pixel at depth 8
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).copy()
-        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
-        if ftype == 0:
-            out[y] = line
-        elif ftype == 1:  # Sub: left neighbor (sequential in x)
-            acc = line.astype(np.int64)
-            for x in range(bpp, stride):
-                acc[x] = (acc[x] + acc[x - bpp]) & 0xFF
-            out[y] = acc.astype(np.uint8)
-        elif ftype == 2:  # Up: fully vectorized
-            out[y] = line + prev
-        elif ftype == 3:  # Average
-            acc = line.astype(np.int64)
-            for x in range(stride):
-                left = acc[x - bpp] if x >= bpp else 0
-                acc[x] = (acc[x] + ((left + int(prev[x])) >> 1)) & 0xFF
-            out[y] = acc.astype(np.uint8)
-        elif ftype == 4:  # Paeth
-            acc = line.astype(np.int64)
-            for x in range(stride):
-                left = int(acc[x - bpp]) if x >= bpp else 0
-                up = int(prev[x])
-                ul = int(prev[x - bpp]) if x >= bpp else 0
-                acc[x] = (acc[x] + _paeth(left, up, ul)) & 0xFF
-            out[y] = acc.astype(np.uint8)
-        else:
-            raise ValueError(f"corrupt PNG (filter type {ftype})")
-    px = out.reshape(h, w, channels)
+    if interlace == 0:
+        if len(raw) != (stride + 1) * h:
+            raise ValueError("corrupt PNG (IDAT size mismatch)")
+        out = _png_unfilter(raw, h, stride, bpp)
+        px = out.reshape(h, w, channels)
+    else:  # Adam7 (round 5): 7 independently-filtered sub-images
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * channels
+            need = (pstride + 1) * ph
+            if offset + need > len(raw):
+                raise ValueError("corrupt PNG (Adam7 pass underrun)")
+            sub = _png_unfilter(raw, ph, pstride, bpp, offset)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            offset += need
+        if offset != len(raw):
+            raise ValueError("corrupt PNG (Adam7 trailing data)")
     if ctype == 3:  # palette indices -> RGB
         if plte is None or len(plte) % 3:
             raise ValueError("corrupt PNG (palette missing/ragged)")
