@@ -346,3 +346,47 @@ def test_http_body_decoding_header_variants():
             b"\x00\x01\x02")
     out = parse_warc(rec(http))[0]
     assert out["error"] and "br" in out["error"]
+
+
+def test_content_type_charset_drives_extraction(spark, tmp_path):
+    """Round 5: the HTTP Content-Type charset rides the pages frame
+    as the `charset` column and decodes no-meta non-UTF-8 pages
+    end-to-end (WARC -> pages -> extract_pages)."""
+    from westa_ocr_spark.operators.extract import extract_pages
+    from westa_ocr_spark.sources.warc import (
+        parse_warc,
+        read_warc_pages,
+        write_warc,
+    )
+
+    probe = "日本語の本文テキストです"
+    body = f"<html><body><p>{probe}</p></body></html>".encode("cp932")
+    recs = [
+        {
+            "url": "https://cs.example/sjis",
+            "date": "2025-01-01T00:00:00Z",
+            "html": body,
+            "charset": "Shift_JIS",
+        },
+        {
+            "url": "https://cs.example/plain",
+            "date": "2025-01-01T00:00:00Z",
+            "html": b"<html><body><p>plain ascii page</p></body></html>",
+        },
+    ]
+    blob = write_warc(recs)
+    # parser surfaces the charset
+    parsed = {r["url"]: r for r in parse_warc(blob)}
+    assert parsed["https://cs.example/sjis"]["charset"] == "Shift_JIS"
+    assert parsed["https://cs.example/plain"]["charset"] is None
+
+    stage = tmp_path / "seg-00000.warc.gz"
+    stage.write_bytes(blob)
+    pages = read_warc_pages(spark, str(tmp_path))
+    out = {
+        r["url"]: r
+        for r in extract_pages(pages).collect()
+    }
+    sjis = out["https://cs.example/sjis"]
+    assert sjis["status"] == "DONE" and sjis["text"] == probe
+    assert out["https://cs.example/plain"]["text"] == "plain ascii page"

@@ -748,11 +748,12 @@ def dedup_against_store(spark, docs: DataFrame, store,
         known = store.read(spark)
         if bucketed:
             known = known.filter(F.col(FP_BUCKET_COL).isin(buckets))
+        # no second checkpoint: the anti-join plan reads the CURRENT
+        # store generation and is evaluated exactly once, inside
+        # merge_upsert's write — which completes before the commit
+        # swaps generations, so the files it reads still exist; the
+        # batch side is already checkpointed above
         canon = canon.join(known.select("fp"), "fp", "left_anti")
-        # materialize BEFORE the merge swaps the store generation: the
-        # survivor plan must not lazily re-read files the commit
-        # deletes
-        canon = canon.localCheckpoint(eager=True)
     # register FIRST, then derive the survivor set from the COMMITTED
     # store: at-least-once crash-retry returns the exact same
     # survivors (the retry's (fp, doc_id) pairs still match the rows

@@ -77,11 +77,15 @@ def _pdf_line_spans(page_text: str) -> list[dict]:
 MAX_PAYLOAD_BYTES = 64 * 1024 * 1024
 
 
-def extract_rows(url: str, data: bytes) -> list[dict]:
+def extract_rows(url: str, data: bytes,
+                 charset: str | None = None) -> list[dict]:
     """Pure per-document extraction: 1 doc -> N page rows.
 
     Shared by the Spark operator and the fixture generator so the
-    byte-identity contract has a single definition.
+    byte-identity contract has a single definition. ``charset`` is
+    the transport-layer decode hint (round 5: the WARC source's HTTP
+    Content-Type charset) — WHATWG precedence: BOM > this hint >
+    <meta charset> > strict UTF-8.
     """
     if data is None:
         # Null payloads must surface as ERROR rows, not vanish:
@@ -134,7 +138,7 @@ def extract_rows(url: str, data: bytes) -> list[dict]:
                 }
                 for idx, page in enumerate(pages, start=1)
             ]
-        text, spans = extract_html(data)
+        text, spans = extract_html(data, charset_hint=charset)
         return [
             {
                 "url": url,
@@ -180,8 +184,15 @@ def _extract_batches(
 ) -> Iterator[pd.DataFrame]:
     for batch in batches:
         out: list[dict] = []
-        for url, data in zip(batch["url"], batch["html"]):
-            out.extend(extract_rows(url, data))
+        charsets = (
+            batch["charset"]
+            if "charset" in batch.columns
+            else [None] * len(batch)
+        )
+        for url, data, cs in zip(batch["url"], batch["html"], charsets):
+            out.extend(
+                extract_rows(url, data, cs if isinstance(cs, str) else None)
+            )
         # dict-of-lists: pandas skips per-row dict inference this way
         yield pd.DataFrame({c: [r[c] for r in out] for c in _COLS})
 
@@ -189,9 +200,14 @@ def _extract_batches(
 def extract_pages(pages: DataFrame) -> DataFrame:
     """Run extraction over a pages DataFrame (needs url + html cols).
 
-    Column-prunes to (url, html) before the Python boundary so the
-    parquet scan reads only those columns.
+    Column-prunes to (url, html) — plus the optional transport
+    ``charset`` hint column when the source provides one (the WARC
+    reader does) — before the Python boundary, so the scan reads only
+    those columns.
     """
-    return pages.select("url", "html").mapInPandas(
+    cols = ["url", "html"] + (
+        ["charset"] if "charset" in pages.columns else []
+    )
+    return pages.select(*cols).mapInPandas(
         _extract_batches, schema=EXTRACTED_SCHEMA
     )

@@ -5,15 +5,11 @@ Definitions live in the domain modules under ``westa_ocr_spark/queries/``
 analytics, streaming, multimodal); this module is ONLY the assembler.
 ``MANIFEST`` is the single ordered list the grading driver reads
 top-down — the driver's correctness sweep covers the first 50 entries
-of ``queries()`` in insertion order, so the manifest is load-bearing:
-
-* slots 1-24: round-2 oracled queries that had never had a driver row
-  (judge-sweep green in round 2, now inside the window);
-* slots 25-30: round-2 rows-only queries (weaker driver check);
-* then: round-3 additions (kept inside the window as they land);
-* then: the most scale-critical veterans (driver-green in r1/r2);
-* past 50: long-stable veterans whose r1/r2 green rows stand as
-  evidence.
+of ``queries()`` in insertion order, so the manifest is load-bearing.
+The window contents rotate every round per the policy documented at
+the MANIFEST definition below (changed/new queries first, then the
+longest-unverified veterans); entries past slot 50 keep their newest
+green CORRECTNESS_r{N} row as evidence.
 
 Float discipline (so order-insensitive hashing can't be broken by
 summation order):

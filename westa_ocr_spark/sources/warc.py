@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import gzip
+import re
 import zlib
 from collections.abc import Iterator
 
@@ -48,6 +49,10 @@ WARC_PAGES_SCHEMA = T.StructType(
         T.StructField("record_type", T.StringType(), False),
         T.StructField("status", T.StringType(), False),
         T.StructField("error", T.StringType(), True),
+        # transport-layer charset from the HTTP Content-Type header
+        # (round 5): fed to extraction as the decode hint — WHATWG
+        # precedence puts it above the in-document <meta charset>
+        T.StructField("charset", T.StringType(), True),
     ]
 )
 
@@ -187,24 +192,42 @@ def _decode_http_body(headers: dict[bytes, bytes], body: bytes) -> bytes:
     return body
 
 
-def _strip_http_headers(block: bytes) -> tuple[bytes, str | None]:
+_CHARSET_PARAM = re.compile(rb"charset\s*=\s*\"?([A-Za-z0-9._:-]+)")
+
+
+def _content_type_charset(headers: dict[bytes, bytes]) -> str | None:
+    """charset parameter of the Content-Type header, if any."""
+    ct = headers.get(b"content-type")
+    if not ct:
+        return None
+    m = _CHARSET_PARAM.search(ct)
+    return m.group(1).decode("ascii", "replace") if m else None
+
+
+def _strip_http_headers(
+    block: bytes,
+) -> tuple[bytes, str | None, str | None]:
     """For response records the block is an HTTP message; the payload
-    starts after its header section. Returns ``(body, error)``:
-    chunked transfer framing is removed and gzip/deflate content
-    codings decompressed (coding LISTS and header-case variants
-    handled, round 5); a failed or unrecognized coding returns the
-    raw body plus an error message so the record surfaces as an ERROR
-    row rather than leaking framing bytes into extracted text."""
+    starts after its header section. Returns ``(body, error,
+    charset)``: chunked transfer framing is removed and gzip/deflate
+    content codings decompressed (coding LISTS and header-case
+    variants handled, round 5); a failed or unrecognized coding
+    returns the raw body plus an error message so the record surfaces
+    as an ERROR row rather than leaking framing bytes into extracted
+    text. ``charset`` is the Content-Type parameter, the
+    transport-layer decode hint."""
     if not block.startswith(b"HTTP/"):
-        return block, None
+        return block, None, None
     sep = block.find(_CRLF + _CRLF)
     if sep < 0:
-        return block, None
+        return block, None, None
+    headers = _parse_http_headers(block[:sep])
+    charset = _content_type_charset(headers)
     body = block[sep + 4 :]
     try:
-        return _decode_http_body(_parse_http_headers(block[:sep]), body), None
+        return _decode_http_body(headers, body), None, charset
     except ValueError as exc:
-        return body, str(exc)
+        return body, str(exc), charset
 
 
 def parse_warc(data: bytes) -> list[dict]:
@@ -230,9 +253,9 @@ def parse_warc(data: bytes) -> list[dict]:
             h = rec["headers"]
             rtype = h.get("warc-type", "unknown")
             payload = rec["block"]
-            error = None
+            error = charset = None
             if rtype == "response":
-                payload, error = _strip_http_headers(payload)
+                payload, error, charset = _strip_http_headers(payload)
             out.append(
                 {
                     "type": rtype,
@@ -240,6 +263,7 @@ def parse_warc(data: bytes) -> list[dict]:
                     "date": h.get("warc-date"),
                     "payload": payload,
                     "error": error,
+                    "charset": charset,
                 }
             )
     return out
@@ -249,14 +273,19 @@ def write_warc(records: list[dict], *, gzip_members: bool = True) -> bytes:
     """Serialize (url, date, html) dicts as a WARC byte stream.
 
     Response records carry a minimal HTTP/1.1 200 message (the
-    Common-Crawl shape); each record becomes its own gzip member when
+    Common-Crawl shape); a record's optional ``charset`` key becomes
+    the Content-Type charset parameter (round 5: the transport decode
+    hint). Each record becomes its own gzip member when
     ``gzip_members`` (the CC storage layout). Deterministic: gzip
     mtime pinned to 0.
     """
     out = bytearray()
     for rec in records:
+        ctype = b"text/html"
+        if rec.get("charset"):
+            ctype += b"; charset=" + rec["charset"].encode("ascii")
         http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n"
             + rec["html"]
         )
         headers = (
@@ -327,6 +356,7 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
                                     "ERROR" if decode_err else "OK"
                                 ),
                                 "error": decode_err,
+                                "charset": rec.get("charset"),
                             }
                         )
                 except ValueError as exc:
@@ -341,6 +371,7 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
                             "record_type": "error",
                             "status": "ERROR",
                             "error": f"warc: {exc}",
+                            "charset": None,
                         }
                     )
             yield pd.DataFrame({c: [r[c] for r in rows] for c in cols})

@@ -166,13 +166,14 @@ class WarcReader(DataSourceReader):
                     rec["type"],
                     "ERROR" if decode_err else "OK",
                     decode_err,
+                    rec.get("charset"),
                 )
         except ValueError as exc:
             if self._url_preds:
                 return  # NULL url satisfies no consumed url predicate
             yield (
                 None, None, None, "", "", fpath, "error", "ERROR",
-                f"warc: {exc}",
+                f"warc: {exc}", None,
             )
 
 
