@@ -13,6 +13,9 @@ Writes:
   (url, page_index, status, kind, n_blocks, text_chars, text_sha256)
   for the same docs, loaded into DuckDB as the value oracle for the
   ``extract_pages_job`` / ``charset_extract`` registry queries.
+* ``tests/fixtures/split_expected.json`` — expected standalone
+  1-page payload sizes/hashes for every corpus PDF doc, the value
+  oracle for ``split_pdf_payloads`` (round 5).
 """
 
 import hashlib
@@ -70,10 +73,42 @@ def main() -> None:
                     "charset_codec": cs_codec,
                 }
             )
+    split_expected: list[dict] = []
+    from westa_ocr_spark.kernel.pdf_mini import split_pdf
+
+    for i, row in enumerate(generate_rows(N_DOCS)):
+        if not row["html"].startswith(b"%PDF-"):
+            continue
+        try:
+            for idx, page in enumerate(split_pdf(row["html"]), start=1):
+                split_expected.append(
+                    {
+                        "url": row["url"],
+                        "page_index": idx,
+                        "mime_type": "application/pdf",
+                        "status": "DONE",
+                        "payload_bytes": len(page),
+                        "payload_sha256": hashlib.sha256(page).hexdigest(),
+                    }
+                )
+        except (ValueError, TypeError) as exc:
+            split_expected.append(
+                {
+                    "url": row["url"],
+                    "page_index": 1,
+                    "mime_type": "application/pdf",
+                    "status": "ERROR",
+                    "payload_bytes": None,
+                    "payload_sha256": None,
+                }
+            )
+            del exc
     with open(os.path.join(FIXDIR, "golden_extractions.json"), "w") as f:
         json.dump(golden, f, indent=1, sort_keys=True)
     with open(os.path.join(FIXDIR, "extract_expected.json"), "w") as f:
         json.dump(expected, f, indent=1)
+    with open(os.path.join(FIXDIR, "split_expected.json"), "w") as f:
+        json.dump(split_expected, f, indent=1)
     statuses = [e["status"] for e in expected]
     print(
         f"wrote {len(golden)} golden rows, {len(expected)} expected rows "

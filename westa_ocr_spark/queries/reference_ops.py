@@ -818,6 +818,9 @@ _SQL_BASE64_ROUNDTRIP = (
 
 
 def _q_split_pdf_payloads(spark, sf):
+    # Round 5: value-oracled (was rows-only) against the pinned
+    # fixture — split_pdf's standalone 1-page payloads are
+    # deterministic bytes, so size AND sha256 are DuckDB-checkable.
     from westa_ocr_spark.operators.split_pdf import split_pdf_payloads
 
     pages = spark.read.parquet(_staged_corpus_path(200)).filter(
@@ -827,7 +830,25 @@ def _q_split_pdf_payloads(spark, sf):
     return out.select(
         "url", "page_index", "mime_type", "status",
         F.octet_length("data").alias("payload_bytes"),
+        F.sha2(F.col("data"), 256).alias("payload_sha256"),
     )
+
+
+def _split_fixture_path() -> str:
+    import os
+
+    return os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__), "..", "..", "tests", "fixtures",
+            "split_expected.json",
+        )
+    )
+
+
+_SQL_SPLIT_PDF_PAYLOADS = f"""
+SELECT url, page_index, mime_type, status, payload_bytes, payload_sha256
+FROM read_json('{_split_fixture_path()}')
+"""
 
 
 
@@ -1091,6 +1112,6 @@ DEFS = {
     "base64_roundtrip": (_q_base64_roundtrip, _SQL_BASE64_ROUNDTRIP),
     "extract_pages_job": (_q_extract_pages, _SQL_EXTRACT_PAGES),
     "charset_extract": (_q_charset_extract, _SQL_CHARSET_EXTRACT),
-    "split_pdf_payloads": (_q_split_pdf_payloads, None),
+    "split_pdf_payloads": (_q_split_pdf_payloads, _SQL_SPLIT_PDF_PAYLOADS),
     "warc_ingest": (_q_warc_ingest, _SQL_WARC_INGEST),
 }

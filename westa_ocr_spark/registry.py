@@ -58,13 +58,13 @@ for _mod in (
 # row is oldest — until the 50 slots are full. Entries past the
 # boundary keep their newest green CORRECTNESS_r{N} row as evidence;
 # nothing may rest on a row older than ~2 rounds before rotating back
-# in. Round-5 window: 7 changed/new queries (charset_extract is new;
-# extract_pages_job / warc_ingest / simhash64 gained value oracles;
-# media_features grew interlaced decode; dedup_incremental /
-# stream_stream_join got per-run staging paths), then the 9 r2-era
-# veterans VERDICT r4 queued by name, then 34 of the r3-green
-# veterans. Below the boundary: the other r3 greens and every
-# r4-green window survivor (freshest evidence).
+# in. Round-5 window: 8 changed/new queries (charset_extract is new;
+# extract_pages_job / warc_ingest / simhash64 / split_pdf_payloads
+# gained value oracles; media_features grew interlaced decode;
+# dedup_incremental / stream_stream_join got per-run staging paths),
+# then the 9 r2-era veterans VERDICT r4 queued by name, then 33 of
+# the r3-green veterans. Below the boundary: the other r3 greens and
+# every r4-green window survivor (freshest evidence).
 MANIFEST: list[str] = [
     # -- new / changed this round -------------------------------------
     "charset_extract",
@@ -74,6 +74,7 @@ MANIFEST: list[str] = [
     "media_features",
     "dedup_incremental",
     "stream_stream_join",
+    "split_pdf_payloads",
     # -- r2-evidence veterans (VERDICT r4 "What's wrong" #1) ----------
     "rollup_counts",
     "pivot_event_types",
@@ -118,8 +119,8 @@ MANIFEST: list[str] = [
     "stratified_sample",
     "embedding_dup_pairs",
     "lsh_dup_candidates",
-    "embedding_dup_pairs_lsh",
     # ======================= driver window boundary ==================
+    "embedding_dup_pairs_lsh",
     # Below: remaining r3 greens (rotate into the r6 window) and the
     # r4-green window survivors, freshest first in rotation priority.
     "stream_windowed_counts",
@@ -128,7 +129,6 @@ MANIFEST: list[str] = [
     "hypertable_rollup",
     "cms_estimates",
     "frame_sampling",
-    "split_pdf_payloads",
     "split_pages_udtf",
     "audio_features",
     "merge_upsert",
