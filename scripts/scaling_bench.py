@@ -86,19 +86,29 @@ def main() -> None:
     args = ap.parse_args()
 
     pages = ensure_corpus(args.n_docs)
-    results = {}
-    for cores in (args.low, args.high):
-        best = None
-        for r in range(args.repeat):
+    # INTERLEAVED low/high pairs (BASELINE.md protocol, round 4
+    # lesson): host speed drifts across hours beyond the ±20%
+    # run-to-run noise, so sequential all-low-then-all-high runs
+    # produce bogus efficiencies; alternate pair-internal order so
+    # in-window drift cancels too.
+    results: dict[int, dict] = {}
+    pairs_log = []
+    for r in range(args.repeat):
+        order = (args.low, args.high) if r % 2 == 0 else (
+            args.high, args.low)
+        pair = {}
+        for cores in order:
             res = run_once(pages, cores, f"c{cores}_r{r}")
             print(
-                f"local[{cores}] run {r}: {res['docs_per_sec']} docs/s "
+                f"pair {r} local[{cores}]: {res['docs_per_sec']} docs/s "
                 f"({res['elapsed_sec']}s)",
                 file=sys.stderr,
             )
+            pair[cores] = res["docs_per_sec"]
+            best = results.get(cores)
             if best is None or res["docs_per_sec"] > best["docs_per_sec"]:
-                best = res
-        results[cores] = best
+                results[cores] = res
+        pairs_log.append(pair)
 
     tp_low = results[args.low]["docs_per_sec"]
     tp_high = results[args.high]["docs_per_sec"]
@@ -110,6 +120,7 @@ def main() -> None:
                 "n_docs": args.n_docs,
                 "cores_low": args.low,
                 "cores_high": args.high,
+                "interleaved_pairs": pairs_log,
                 "docs_per_sec_low": tp_low,
                 "docs_per_sec_high": tp_high,
                 "stages_low": results[args.low].get("stages", {}),

@@ -20,7 +20,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -676,6 +676,58 @@ def line_corpus_dedup(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 8,
+                     min_docs: int = 2) -> DataFrame:
+    """Cross-document repeated-SPAN detection (the substring-dedup
+    class of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" — word-granularity variant): every k-word rolling
+    shingle that appears in >= ``min_docs`` distinct documents marks
+    its positions; per document, maximal runs of consecutive marked
+    positions merge into spans. Output one row per maximal duplicated
+    span: (doc_id, start_word, end_word, n_words) with end_word one
+    past the last covered word.
+
+    100-TB shape: only (shingle_hash, doc_id, pos) triples shuffle —
+    never text; the duplicated-hash set is found by a partial-agg
+    countDistinct and joined back as a hash semi-join; the run-merge
+    window partitions BY DOCUMENT (bounded state per key, no global
+    sort). Docs shorter than k words carry no spans by construction.
+    """
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_words"),
+    ).filter(F.size("_words") >= k)
+    sh = staged.select(
+        "doc_id",
+        F.posexplode(_shingles_from_words(F.col("_words"), k)).alias(
+            "pos", "_shingle"
+        ),
+    ).select("doc_id", "pos", F.xxhash64("_shingle").alias("h"))
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    marked = sh.join(dup, "h", "left_semi")
+    run_w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = marked.withColumn(
+        "_grp", F.col("pos") - F.row_number().over(run_w)
+    )
+    return (
+        runs.groupBy("doc_id", "_grp")
+        .agg(
+            F.min("pos").alias("start_word"),
+            (F.max("pos") + F.lit(k)).alias("end_word"),
+        )
+        .select(
+            "doc_id", "start_word", "end_word",
+            (F.col("end_word") - F.col("start_word")).alias("n_words"),
+        )
+    )
+
+
 # fingerprint-store bucketing: hive partition column for the
 # persistent store so incremental anti-joins prune to the batch's
 # buckets (and merges rewrite only affected buckets, O(delta))
@@ -683,16 +735,40 @@ FP_BUCKET_COL = "fp_bucket"
 N_FP_BUCKETS = 64
 
 
-def _fp_bucket(fp_col):
-    return F.pmod(F.xxhash64(fp_col), F.lit(N_FP_BUCKETS)).cast("int")
+def _fp_bucket(fp_col, n_buckets: int = N_FP_BUCKETS):
+    return F.pmod(F.xxhash64(fp_col), F.lit(n_buckets)).cast("int")
 
 
-def fp_bucket_store(path: str):
+def fp_bucket_store(path: str, n_buckets: int = N_FP_BUCKETS):
     """A ParquetTable laid out for :func:`dedup_against_store`'s
-    bucketed pre-pass: hive-partitioned on ``fp_bucket``."""
+    bucketed pre-pass: hive-partitioned on ``fp_bucket``.
+
+    ``n_buckets`` sizes the layout to the workload: every merge pays
+    O(touched buckets) in tasks/files, so small recurring batches
+    want few buckets (8-16) while a 10^12-doc store wants enough that
+    one bucket's fingerprint column still fits an executor scan
+    (1024+). The count is pinned in a ``<path>.fp_buckets`` sidecar
+    (OUTSIDE the table dir — merges swap whole generations of it) at
+    creation and re-read on open, so later batches can never bucket
+    with a different modulus than the store was laid out with.
+    """
+    import os
+
     from westa_ocr_spark.sources.tables import ParquetTable
 
-    return ParquetTable(path, partition_by=FP_BUCKET_COL)
+    store = ParquetTable(path, partition_by=FP_BUCKET_COL)
+    marker = f"{path.rstrip('/')}.fp_buckets"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            store.fp_buckets = int(f.read().strip())
+    else:
+        parent = os.path.dirname(marker)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(str(n_buckets))
+        store.fp_buckets = n_buckets
+    return store
 
 
 def dedup_against_store(spark, docs: DataFrame, store,
@@ -721,6 +797,7 @@ def dedup_against_store(spark, docs: DataFrame, store,
     fp-column scan per batch.
     """
     bucketed = getattr(store, "partition_by", None) == FP_BUCKET_COL
+    n_buckets = getattr(store, "fp_buckets", N_FP_BUCKETS)
     fp = fingerprint(F.col(text_col))
     fps = docs.select(
         F.col(id_col).alias("doc_id"), fp.alias("fp"),
@@ -728,7 +805,9 @@ def dedup_against_store(spark, docs: DataFrame, store,
     canon = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     buckets: list[int] = []
     if bucketed:
-        canon = canon.withColumn(FP_BUCKET_COL, _fp_bucket(F.col("fp")))
+        canon = canon.withColumn(
+            FP_BUCKET_COL, _fp_bucket(F.col("fp"), n_buckets)
+        )
     # materialize the batch-internal dedup once: its distinct buckets
     # drive store-scan pruning, and the plan must not re-read inputs
     canon = canon.localCheckpoint(eager=True)

@@ -60,8 +60,11 @@ def _q_dedup_incremental(spark, sf):
     # per-run uuid path (VERDICT r4 hygiene): concurrent sweeps on one
     # host must not share/clobber a fixed staging dir. Bucketed store:
     # the incremental anti-join prunes to the batch's fp buckets.
+    # n_buckets=8 sizes the layout to these few-hundred-doc batches
+    # (every merge pays O(touched buckets) in tasks/files); a crawl
+    # store would use the 64+ default — see fp_bucket_store.
     base = tempfile.gettempdir() + f"/westa_q_dedup_{uuid.uuid4().hex[:8]}"
-    store = fp_bucket_store(base)
+    store = fp_bucket_store(base, n_buckets=8)
     docs = _t(spark, sf, "documents")
     b1 = docs.filter(F.col("doc_id") < 300).select("doc_id", "text")
     b2 = (
@@ -165,6 +168,72 @@ def _q_simhash64(spark, sf):
 _SQL_SIMHASH64 = _sql_simhash64_query(
     "SELECT doc_id, text FROM documents WHERE doc_id < 300"
 )
+
+
+def _q_duplicated_spans(spark, sf):
+    """Cross-doc repeated-span detection (round 5, Lee-et-al-style
+    substring dedup at word granularity) over documents <300 plus two
+    seeded slices that make the check non-degenerate at every sf:
+    full re-crawls (doc_id%5==2 under +100000) and 20-word prefix
+    excerpts (doc_id%5==4 under +200000), which produce PARTIAL spans
+    in the parents — the interesting case."""
+    from westa_ocr_spark.functions.textfns import normalize_text
+    from westa_ocr_spark.operators.dedup import duplicated_spans
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    full_dup = docs.filter(F.col("doc_id") % 5 == 2).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    words = F.split(normalize_text(F.col("text")), " ")
+    excerpt = docs.filter(F.col("doc_id") % 5 == 4).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 1, 20)).alias("text"),
+    )
+    src = docs.select("doc_id", "text").unionByName(full_dup).unionByName(
+        excerpt
+    )
+    return duplicated_spans(src, k=8).orderBy(
+        "doc_id", "start_word"
+    )
+
+
+_SQL_DUPLICATED_SPANS = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+  WHERE doc_id < 300 AND doc_id % 5 = 2
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(string_split({_SQL_NORM.format(c='text')},
+                                      ' ')[1:20], ' ')
+  FROM documents WHERE doc_id < 300 AND doc_id % 5 = 4
+),
+w AS (
+  SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS words
+  FROM src
+),
+sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(words[i:i+7], ' ') AS shingle
+  FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)
+  WHERE len(words) >= 8
+),
+dup AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(DISTINCT doc_id) >= 2
+),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS grp
+  FROM sh WHERE shingle IN (SELECT shingle FROM dup)
+)
+SELECT doc_id, min(pos) AS start_word, max(pos) + 8 AS end_word,
+       max(pos) + 8 - min(pos) AS n_words
+FROM runs GROUP BY doc_id, grp
+ORDER BY doc_id, start_word
+"""
 
 
 
@@ -297,6 +366,7 @@ DEFS = {
     "ngram_jaccard": (_q_ngram_jaccard, _SQL_NGRAM_JACCARD),
     "simhash16": (_q_simhash16, _SQL_SIMHASH16),
     "simhash64": (_q_simhash64, _SQL_SIMHASH64),
+    "duplicated_spans": (_q_duplicated_spans, _SQL_DUPLICATED_SPANS),
     "duplicate_groups": (_q_duplicate_groups, _SQL_DUPLICATE_GROUPS),
     "lsh_dup_candidates": (_q_lsh_dup_candidates, None),
     "dedup_keep_canonical": (_q_dedup_keep_canonical, _SQL_DEDUP_KEEP_CANONICAL),

@@ -75,6 +75,7 @@ MANIFEST: list[str] = [
     "dedup_incremental",
     "stream_stream_join",
     "split_pdf_payloads",
+    "duplicated_spans",
     # -- r2-evidence veterans (VERDICT r4 "What's wrong" #1) ----------
     "rollup_counts",
     "pivot_event_types",
@@ -118,8 +119,8 @@ MANIFEST: list[str] = [
     "parse_pages",
     "stratified_sample",
     "embedding_dup_pairs",
-    "lsh_dup_candidates",
     # ======================= driver window boundary ==================
+    "lsh_dup_candidates",
     "embedding_dup_pairs_lsh",
     # Below: remaining r3 greens (rotate into the r6 window) and the
     # r4-green window survivors, freshest first in rotation priority.
