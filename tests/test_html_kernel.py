@@ -179,3 +179,22 @@ def test_candidate_selection_keeps_balanced_page():
     )
     text, _ = extract_html(html)
     assert "first column" in text and "second column" in text
+
+
+def test_undeclared_cp1252_last_resort():
+    """Round 5: undeclared legacy pages (no BOM, no meta, invalid
+    UTF-8) decode via the WHATWG windows-1252 last resort instead of
+    ERRORing — but only when the bytes look like markup; binary junk
+    and non-markup text keep the honest ERROR path."""
+    from westa_ocr_spark.kernel.html_extract import decode_html_bytes
+
+    doc = "<html><body><p>Fenêtre déjà ouverte</p></body></html>".encode(
+        "cp1252"
+    )
+    text, enc = decode_html_bytes(doc)
+    assert enc == "cp1252"
+    assert extract_html(doc)[0] == "Fenêtre déjà ouverte"
+    for junk in (b"\xff\x00\x01<html>", bytes(range(256)),
+                 "plain text caf\xe9".encode("cp1252")):
+        with pytest.raises(UnicodeDecodeError):
+            decode_html_bytes(junk)

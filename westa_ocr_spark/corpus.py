@@ -57,6 +57,9 @@ _CHARSET_DIALECTS: tuple[tuple[str, str | None, str, str], ...] = (
     ("meta", "GB2312", "gbk", "中文网页正文抽取测试句子。"),
     ("bom16", None, "utf-16-le", "Vollständig geprüfter Text — äöüß."),
     ("http-equiv", "Shift_JIS", "cp932", "追加の日本語テスト文です。"),
+    # UNDECLARED legacy page: no BOM, no meta — only the WHATWG
+    # windows-1252 last resort decodes it (browsers never error here)
+    ("plain", None, "cp1252", "Fenêtre déjà ouverte, çà et là rêvé."),
 )
 
 

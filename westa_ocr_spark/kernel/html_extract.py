@@ -13,11 +13,13 @@ Contract (frozen — fixtures are byte-identical against this):
 * input: HTML bytes in any declared web charset. Decoding is
   charset-aware (round 5, WHATWG-style sniff order): BOM >
   transport-layer ``Content-Type`` hint > ``<meta charset>`` /
-  ``http-equiv`` prescan of the first 1024 bytes > strict UTF-8.
-  Every decode is STRICT; a genuinely undecodable document raises
-  ``UnicodeDecodeError`` -> per-row ERROR path, mirroring
-  ``/root/reference/app/worker.py:798-823``. Output text is unicode
-  (UTF-8 downstream) regardless of the input charset.
+  ``http-equiv`` prescan of the first 1024 bytes > strict UTF-8 >
+  windows-1252 last resort for markup-shaped legacy bytes (the
+  WHATWG default; gated on a printable-ratio + ``<``-prefix check so
+  binary junk still ERRORs). Declared decodes are STRICT; a genuinely
+  undecodable document raises ``UnicodeDecodeError`` -> per-row ERROR
+  path, mirroring ``/root/reference/app/worker.py:798-823``. Output
+  text is unicode (UTF-8 downstream) regardless of input charset.
 * the document is segmented into *blocks* at block-level element
   boundaries (``p``, ``h1``-``h6``, ``li``, ``div``, ``article``, ...).
 * subtrees under chrome/noise tags (``script``, ``style``, ``nav``,
@@ -151,7 +153,35 @@ def decode_html_bytes(
             ), declared
         except UnicodeDecodeError:
             pass  # mislabeled page: strict-UTF-8 fallback below
-    return data.decode("utf-8"), "utf-8"
+    try:
+        return data.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        # WHATWG last resort: browsers decode undeclared legacy pages
+        # as windows-1252 (the spec's default for most locales) and
+        # never error. Gate on the bytes LOOKING like markup/text \u2014
+        # high printable ratio and an HTML-ish prefix \u2014 so binary
+        # junk still takes the honest ERROR path instead of becoming
+        # mojibake "content".
+        if _looks_textual(data):
+            return data.decode("cp1252", errors="replace"), "cp1252"
+        raise
+
+
+# cp1252 has 5 unmapped bytes (0x81 8D 8F 90 9D); everything else
+# decodes. "Textual" = <1% control bytes (outside tab/newline/cr)
+# AND the document starts with markup within the first 256 bytes.
+_CTRL = frozenset(range(0x00, 0x20)) - {0x09, 0x0A, 0x0D}
+
+
+def _looks_textual(data: bytes) -> bool:
+    if not data:
+        return False
+    head = data[:4096]
+    ctrl = sum(1 for b in head if b in _CTRL)
+    if ctrl > len(head) // 100:
+        return False
+    probe = data[:256].lstrip()
+    return probe[:1] == b"<"
 
 # Elements that start a new text block.
 BLOCK_TAGS = frozenset(

@@ -692,7 +692,9 @@ def _q_charset_extract(spark, sf):
         (url_for(i), charset_for(i)[0], charset_for(i)[2])
         for i in range(200)
         if kind_for(i) in ("html", "oversized")
-        and charset_for(i)[0] != "plain"
+        and not (
+            charset_for(i)[0] == "plain" and charset_for(i)[2] == "utf-8"
+        )  # keep the UNDECLARED cp1252 last-resort leg in scope
     ]
     cs = spark.createDataFrame(
         cs_rows, "url string, charset_mode string, charset_codec string"
@@ -707,7 +709,8 @@ def _q_charset_extract(spark, sf):
 _SQL_CHARSET_EXTRACT = f"""
 SELECT url, charset_mode, charset_codec, status, n_blocks, text_sha256
 FROM read_json('{_extract_fixture_path()}')
-WHERE charset_mode IS NOT NULL AND charset_mode <> 'plain'
+WHERE charset_mode IS NOT NULL
+  AND NOT (charset_mode = 'plain' AND charset_codec = 'utf-8')
 """
 
 
