@@ -436,11 +436,18 @@ def test_png_decode_rejects_exotic(spark):
         decode_png_pixels,
     )
 
-    # 16-bit depth -> unsupported, clean ValueError (not garbage)
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    # spec-invalid bit depth (3) -> clean ValueError (not garbage);
+    # 1/2/4/8/16 are all SUPPORTED as of round 5
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)
     blob = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IEND", b""))
     with _pytest.raises(ValueError, match="bit depth"):
+        decode_png_pixels(blob)
+    # sub-byte depth with a truecolor type is corrupt per spec
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    blob = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="color type"):
         decode_png_pixels(blob)
 
 
@@ -852,3 +859,94 @@ def test_progressive_jpeg_decodes_identical_to_baseline():
     sparse[::16, ::16] = 255
     assert (decode_jpeg(write_jpeg_progressive(sparse))
             == decode_jpeg(write_jpeg_gray(sparse))).all()
+
+
+def test_png_bit_depths_1_2_4_16():
+    """Round 5: sub-byte gray/palette PNGs (icons, old-web art) and
+    16-bit PNGs decode — values verified against an independent
+    builder that packs bits MSB-first per spec."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from westa_ocr_spark.operators.multimodal import (
+        _png_chunk,
+        decode_png_pixels,
+    )
+
+    def rows_to_bytes(vals, depth):
+        n = vals.shape[0]
+        if depth == 8:
+            return vals.astype(np.uint8).reshape(n, -1)
+        if depth == 16:
+            flat = vals.reshape(n, -1)
+            out = np.zeros((n, flat.shape[1] * 2), dtype=np.uint8)
+            out[:, 0::2] = (flat >> 8) & 0xFF
+            out[:, 1::2] = flat & 0xFF
+            return out
+        samples = vals.reshape(n, -1)
+        bits = (
+            (samples[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).reshape(n, -1)
+        pad = (-bits.shape[1]) % 8
+        if pad:
+            bits = np.concatenate(
+                [bits, np.zeros((n, pad), dtype=bits.dtype)], axis=1
+            )
+        return np.packbits(bits.astype(np.uint8), axis=1)
+
+    def build(vals, depth, ctype, palette=None, interlace=0,
+              raw_override=None):
+        h, w = vals.shape[:2]
+        if raw_override is None:
+            raw = bytearray()
+            rb = rows_to_bytes(vals, depth)
+            for r in range(h):
+                raw += b"\x00" + rb[r].tobytes()
+        else:
+            raw = raw_override
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        if palette is not None:
+            out += _png_chunk(b"PLTE", bytes(palette))
+        out += _png_chunk(b"IDAT", _zlib.compress(bytes(raw), 9))
+        return out + _png_chunk(b"IEND", b"")
+
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        vals = np.arange(11 * 7).reshape(7, 11, 1) % (mx + 1)
+        got = decode_png_pixels(build(vals, depth, 0))
+        assert np.array_equal(got, (vals * (255 // mx)).astype(np.uint8))
+
+    pal = [0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255]
+    vals = np.arange(9 * 5).reshape(5, 9, 1) % 4
+    got = decode_png_pixels(build(vals, 2, 3, palette=pal))
+    exp = np.array(pal, dtype=np.uint8).reshape(4, 3)[vals[:, :, 0]]
+    assert np.array_equal(got, exp)
+
+    vals16 = (np.arange(6 * 8).reshape(6, 8, 1) * 977) % 65536
+    got = decode_png_pixels(build(vals16, 16, 0))
+    assert np.array_equal(
+        got[:, :, 0], (vals16[:, :, 0] >> 8).astype(np.uint8)
+    )
+    rgb16 = (np.arange(4 * 5 * 3).reshape(4, 5, 3) * 1201) % 65536
+    got = decode_png_pixels(build(rgb16, 16, 2))
+    assert np.array_equal(got, (rgb16 >> 8).astype(np.uint8))
+
+    # Adam7 + depth 4: each pass packs its own sub-byte rows
+    from westa_ocr_spark.operators.multimodal import _ADAM7
+
+    vals = np.arange(9 * 9).reshape(9, 9, 1) % 16
+    passes = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = vals[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        rb = rows_to_bytes(sub, 4)
+        for r in range(sub.shape[0]):
+            passes += b"\x00" + rb[r].tobytes()
+    got = decode_png_pixels(
+        build(vals, 4, 0, interlace=1, raw_override=passes)
+    )
+    assert np.array_equal(got, (vals * 17).astype(np.uint8))

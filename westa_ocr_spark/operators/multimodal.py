@@ -506,10 +506,12 @@ def decode_png_pixels(data: bytes):
     """REAL PNG pixel decode, pure stdlib + numpy: zlib-inflate the
     IDAT stream, undo the per-scanline filters (None/Sub/Up/Average/
     Paeth), and return an (h, w, channels) uint8 array. Supports
-    bit-depth 8, color types 0 (gray), 2 (RGB), 3 (palette -> RGB),
-    4 (gray+alpha), 6 (RGBA), sequential AND Adam7-interlaced
-    (round 5) — the overwhelming bulk of web PNGs. Anything else
-    raises ``ValueError`` (per-row ERROR capture upstream)."""
+    bit depths 1/2/4 (gray scaled to full range, palette raw), 8,
+    and 16 (high-byte 8-bit reduction); color types 0 (gray),
+    2 (RGB), 3 (palette -> RGB), 4 (gray+alpha), 6 (RGBA);
+    sequential AND Adam7-interlaced — effectively the whole web PNG
+    population. Anything else raises ``ValueError`` (per-row ERROR
+    capture upstream)."""
     import numpy as np
 
     if data[:8] != b"\x89PNG\r\n\x1a\n":
@@ -538,7 +540,7 @@ def decode_png_pixels(data: bytes):
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr[:13]
     )
-    if depth != 8:
+    if depth not in (1, 2, 4, 8, 16):
         raise ValueError(f"unsupported PNG bit depth {depth}")
     if interlace not in (0, 1):
         raise ValueError(f"corrupt PNG (interlace method {interlace})")
@@ -547,14 +549,42 @@ def decode_png_pixels(data: bytes):
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {ctype}")
+    if depth < 8 and ctype not in (0, 3):
+        raise ValueError(
+            f"corrupt PNG (bit depth {depth} with color type {ctype})"
+        )
+    if depth == 16 and ctype == 3:
+        raise ValueError("corrupt PNG (16-bit palette)")
+
+    def unpack_rows(rows, width):
+        """(n, stride) filtered-byte rows -> (n, width, channels)
+        8-bit samples: sub-byte depths unpack MSB-first (gray values
+        scale to full range, palette indices stay raw); 16-bit takes
+        the high byte (the standard 8-bit reduction)."""
+        if depth == 8:
+            return rows[:, : width * channels].reshape(-1, width, channels)
+        if depth == 16:
+            return rows.reshape(rows.shape[0], -1, channels, 2)[
+                :, :width, :, 0
+            ]
+        bits = np.unpackbits(rows, axis=1)
+        vals = bits.reshape(rows.shape[0], -1, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        samples = (vals * weights).sum(axis=2)[:, :width]
+        if ctype == 0:  # gray: scale to 8-bit
+            samples = samples * (255 // ((1 << depth) - 1))
+        return samples.astype(np.uint8).reshape(-1, width, 1)
+
+    def row_stride(width):
+        return (width * channels * depth + 7) // 8
+
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    bpp = channels  # bytes per pixel at depth 8
+    bpp = max(1, channels * depth // 8)  # filter distance in bytes
     if interlace == 0:
+        stride = row_stride(w)
         if len(raw) != (stride + 1) * h:
             raise ValueError("corrupt PNG (IDAT size mismatch)")
-        out = _png_unfilter(raw, h, stride, bpp)
-        px = out.reshape(h, w, channels)
+        px = unpack_rows(_png_unfilter(raw, h, stride, bpp), w)
     else:  # Adam7 (round 5): 7 independently-filtered sub-images
         px = np.zeros((h, w, channels), dtype=np.uint8)
         offset = 0
@@ -563,12 +593,12 @@ def decode_png_pixels(data: bytes):
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * channels
+            pstride = row_stride(pw)
             need = (pstride + 1) * ph
             if offset + need > len(raw):
                 raise ValueError("corrupt PNG (Adam7 pass underrun)")
-            sub = _png_unfilter(raw, ph, pstride, bpp, offset)
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            sub = unpack_rows(_png_unfilter(raw, ph, pstride, bpp, offset), pw)
+            px[y0::dy, x0::dx] = sub
             offset += need
         if offset != len(raw):
             raise ValueError("corrupt PNG (Adam7 trailing data)")
