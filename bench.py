@@ -54,6 +54,9 @@ HEADLINE = [
     "dedup_incremental",
     "tpch_q9",
     "tpch_q21",
+    # round 5
+    "duplicated_spans",
+    "charset_extract",
 ]
 
 
