@@ -71,6 +71,10 @@ def main() -> None:
                     "text_sha256": text_sha,
                     "charset_mode": cs_mode,
                     "charset_codec": cs_codec,
+                    # raw extracted text: lets DuckDB oracles compute
+                    # DERIVED values (lang-id, quality, token counts,
+                    # fingerprints) for composed-pipeline queries
+                    "text": out["text"],
                 }
             )
     split_expected: list[dict] = []

@@ -714,6 +714,84 @@ WHERE charset_mode IS NOT NULL
 """
 
 
+def _q_curation_pipeline(spark, sf):
+    """End-to-end training-data CURATION composition, value-verified
+    (round 5): raw crawl bytes -> charset-aware extraction -> language
+    ID + quality + token profiling -> exact dedup -> per-language
+    corpus stats. A deterministic re-crawl slice (md5(url) prefix
+    < '4') is unioned in so the dedup stage is non-degenerate; the
+    DuckDB oracle recomputes every stage from the pinned fixture's
+    extracted TEXT, so extraction, profiling and dedup are all
+    checked by value in one row."""
+    from westa_ocr_spark.functions import textfns
+    from westa_ocr_spark.operators.extract import extract_pages
+
+    pages = extract_pages(spark.read.parquet(_staged_corpus_path(200)))
+    docs = pages.filter(
+        (F.col("status") == "DONE") & (F.col("kind") == "html")
+    ).select("url", "text")
+    recrawl = docs.filter(F.substring(F.md5("url"), 1, 1) < F.lit("4"))
+    src = docs.unionByName(recrawl).select("text")
+    profiled = textfns.with_lang_id(src, "text").select(
+        "lang_id",
+        textfns.quality_score(F.col("text")).alias("quality"),
+        textfns.token_count(F.col("text")).alias("ws_tokens"),
+        textfns.fingerprint(F.col("text")).alias("fp"),
+    )
+    # duplicate rows are identical in every column (same text), so
+    # the fp-dedup is deterministic
+    deduped = profiled.dropDuplicates(["fp"])
+    return deduped.groupBy("lang_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_tokens"),
+        round_det(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+    )
+
+
+def _sql_curation_pipeline() -> str:
+    from westa_ocr_spark.queries.common import (
+        _SQL_NORM,
+        _sql_lang_best,
+        _sql_lang_from_best,
+        _sql_quality,
+        _sql_round_det,
+        _sql_token_count,
+    )
+
+    return f"""
+WITH ex AS (
+  SELECT url, text FROM read_json('{_extract_fixture_path()}')
+  WHERE status = 'DONE' AND kind = 'html'
+),
+src AS (
+  SELECT text FROM ex
+  UNION ALL
+  SELECT text FROM ex WHERE substring(md5(url), 1, 1) < '4'
+),
+best AS (
+  SELECT text, {_sql_lang_best('text')} AS best FROM src
+),
+p AS (
+  SELECT {_sql_lang_from_best('best')} AS lang_id,
+         {_sql_quality('text')} AS quality,
+         {_sql_token_count('text')} AS ws_tokens,
+         md5({_SQL_NORM.format(c='text')}) AS fp
+  FROM best
+),
+d AS (SELECT DISTINCT fp, lang_id, quality, ws_tokens FROM p)
+SELECT lang_id, count(*) AS n_docs,
+       cast(sum(ws_tokens) AS BIGINT) AS total_tokens,
+       {_sql_round_det(
+           'cast(sum(cast(quality AS DECIMAL(18,6))) AS double)'
+           ' / count(*)', 6)} AS avg_quality
+FROM d GROUP BY lang_id
+"""
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -1115,6 +1193,7 @@ DEFS = {
     "base64_roundtrip": (_q_base64_roundtrip, _SQL_BASE64_ROUNDTRIP),
     "extract_pages_job": (_q_extract_pages, _SQL_EXTRACT_PAGES),
     "charset_extract": (_q_charset_extract, _SQL_CHARSET_EXTRACT),
+    "curation_pipeline": (_q_curation_pipeline, _sql_curation_pipeline()),
     "split_pdf_payloads": (_q_split_pdf_payloads, _SQL_SPLIT_PDF_PAYLOADS),
     "warc_ingest": (_q_warc_ingest, _SQL_WARC_INGEST),
 }

@@ -76,6 +76,7 @@ MANIFEST: list[str] = [
     "stream_stream_join",
     "split_pdf_payloads",
     "duplicated_spans",
+    "curation_pipeline",
     # -- r2-evidence veterans (VERDICT r4 "What's wrong" #1) ----------
     "rollup_counts",
     "pivot_event_types",
@@ -118,8 +119,8 @@ MANIFEST: list[str] = [
     "quality_scores",
     "parse_pages",
     "stratified_sample",
-    "embedding_dup_pairs",
     # ======================= driver window boundary ==================
+    "embedding_dup_pairs",
     "lsh_dup_candidates",
     "embedding_dup_pairs_lsh",
     # Below: remaining r3 greens (rotate into the r6 window) and the
