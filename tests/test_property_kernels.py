@@ -1,6 +1,7 @@
 """Property-based kernel tests (hypothesis): the contracts hold for
 arbitrary inputs, not just the seeded corpus."""
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -192,3 +193,43 @@ def test_fast_tokenizer_equivalent_on_plain_text(soup):
             return ("VALUE_ERROR", str(exc))
 
     assert run("fast") == run("stdlib")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2000),
+       st.sampled_from([None, "utf-8", "shift_jis", "euc-kr", "gb2312",
+                        "latin-1", "utf-16", "x-bogus"]))
+def test_charset_decode_total_and_deterministic(data, hint):
+    """decode_html_bytes is total (returns or raises exactly
+    UnicodeDecodeError), deterministic, and its reported codec really
+    is a codec that the returned text is consistent with."""
+    import codecs
+
+    from westa_ocr_spark.kernel.html_extract import decode_html_bytes
+
+    try:
+        text, enc = decode_html_bytes(data, hint)
+    except UnicodeDecodeError:
+        with pytest.raises(UnicodeDecodeError):
+            decode_html_bytes(data, hint)  # raises deterministically
+        return
+    # deterministic
+    assert decode_html_bytes(data, hint) == (text, enc)
+    # the reported codec exists
+    codecs.lookup(enc)
+    assert isinstance(text, str)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.text(alphabet=st.characters(codec="cp932"), max_size=200),
+       st.sampled_from(["Shift_JIS", "shift-jis", "SJIS", "x-sjis"]))
+def test_charset_declared_roundtrip(body, label):
+    """Any cp932-encodable body declared under any Shift_JIS alias
+    decodes back to the exact original text."""
+    from westa_ocr_spark.kernel.html_extract import decode_html_bytes
+
+    doc = f'<meta charset="{label}"><p>{body}</p>'
+    raw = doc.encode("cp932", errors="ignore")
+    text, enc = decode_html_bytes(raw)
+    assert text == raw.decode("cp932")
+    assert enc == "cp932"
