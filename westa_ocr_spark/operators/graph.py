@@ -1,0 +1,87 @@
+"""Host-graph centrality: iterative PageRank over a link-graph edge
+list (the domain-quality signal crawl pipelines rank hosts by —
+PageRank per Brin & Page 1998, public algorithm).
+
+Spark-first shape: each iteration is one equi-join (ranks onto edge
+sources) plus one aggregation (contribution sum per destination) —
+both shuffle on host keys, which are low-cardinality relative to the
+corpus, so AQE coalesces the exchanges; ranks are localCheckpointed
+every few iterations to keep the lineage from growing linearly with
+iteration count (the classic iterative-algorithm pitfall). No
+``collect()`` of graph data — the only driver-side values are the
+node count and the dangling-mass scalar per iteration, both bounded
+single numbers.
+
+The reference has no graph operator; this extends the engine's
+training-data surface the way ``operators/dedup.py`` extends its
+dedup surface (SURVEY.md §2 "beyond the reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, src_col: str = "src",
+             dst_col: str = "dst", iterations: int = 10,
+             damping: float = 0.85,
+             checkpoint_every: int = 4) -> DataFrame:
+    """PageRank over a directed edge list -> (node, rank).
+
+    Multi-edges contribute multiply (each edge row is one link).
+    Dangling nodes (no out-edges) redistribute their rank mass
+    uniformly, so total rank stays 1 and the result is a proper
+    distribution. Deterministic for a fixed edge list: the per-node
+    contribution sums are all-positive double additions whose
+    order-dependence is ~1e-15 — far below any 6-dp comparison.
+    """
+    edges = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for it in range(iterations):
+        with_deg = ranks.join(out_deg, ranks.node == out_deg.src, "left")
+        # dangling mass: bounded scalar, the one driver-side value
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.sum("rank").alias("m"))
+            .collect()[0]["m"]
+            or 0.0
+        )
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(out_deg, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = nodes.join(
+            contribs, nodes.node == contribs.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                   + F.lit(dangling / n))
+            ).alias("rank"),
+        )
+        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+            # truncate lineage: without this the plan depth grows
+            # linearly in iterations and planning time quadratically
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

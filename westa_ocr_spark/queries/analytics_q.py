@@ -575,3 +575,87 @@ DEFS = {
     "cms_estimates": (_q_cms_estimates, _SQL_CMS_ESTIMATES),
     "stratified_sample": (_q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
 }
+
+
+def _q_host_pagerank(spark, sf):
+    """Host-graph centrality (round 5): PageRank over a deterministic
+    synthetic host link graph derived from the documents table
+    (two modular-arithmetic edges per doc over 97 hosts — the same
+    expressions the DuckDB twin builds), 10 damped iterations with
+    dangling-mass redistribution. The crawl-pipeline use: rank hosts
+    by centrality as a document-quality prior."""
+    from westa_ocr_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    # md5-mixed destinations: a polynomial in doc_id would be CONSTANT
+    # per src residue class (degenerate uniform ranks); hash mixing
+    # gives a genuinely non-uniform degree distribution
+    h = F.md5(F.col("doc_id").cast("string"))
+    e1 = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 97)
+        .alias("dst"),
+    )
+    e2 = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        (F.conv(F.substring(h, 5, 4), 16, 10).cast("long") % 97)
+        .alias("dst"),
+    )
+    ranks = pagerank(e1.unionByName(e2), iterations=10)
+    return ranks.select(
+        "node", round_det(F.col("rank"), 6).alias("rank")
+    ).orderBy("node")
+
+
+def _sql_host_pagerank() -> str:
+    d, n_iter = 0.85, 10
+    head = """
+WITH edges AS MATERIALIZED (
+  SELECT doc_id % 97 AS src,
+         cast(concat('0x', substring(md5(cast(doc_id AS VARCHAR)),
+              1, 4)) AS BIGINT) % 97 AS dst
+  FROM documents WHERE doc_id < 2000
+  UNION ALL
+  SELECT doc_id % 97,
+         cast(concat('0x', substring(md5(cast(doc_id AS VARCHAR)),
+              5, 4)) AS BIGINT) % 97
+  FROM documents WHERE doc_id < 2000
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+),
+nn AS MATERIALIZED (SELECT cast(count(*) AS double) AS n FROM nodes),
+outdeg AS MATERIALIZED (SELECT src, cast(count(*) AS double) AS deg
+           FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    iters = []
+    for k in range(1, n_iter + 1):
+        p = f"r{k - 1}"
+        iters.append(f"""
+dang{k} AS MATERIALIZED (
+  SELECT coalesce(sum(r.rank), 0.0) AS m FROM {p} r
+  WHERE r.node NOT IN (SELECT src FROM outdeg)
+),
+c{k} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(r.rank / od.deg) AS contrib
+  FROM edges e JOIN {p} r ON r.node = e.src
+  JOIN outdeg od ON od.src = e.src GROUP BY e.dst
+),
+r{k} AS MATERIALIZED (
+  SELECT n.node,
+         (1.0 - {d}) / nn.n
+         + {d} * (coalesce(c.contrib, 0.0) + dang{k}.m / nn.n) AS rank
+  FROM nodes n CROSS JOIN nn CROSS JOIN dang{k}
+  LEFT JOIN c{k} c ON c.node = n.node
+)""")
+    tail = (
+        f"SELECT node, {_sql_round_det('rank', 6)} AS rank "
+        f"FROM r{n_iter} ORDER BY node"
+    )
+    return head + "," + ",".join(iters) + "\n" + tail
+
+
+_SQL_HOST_PAGERANK = _sql_host_pagerank()
+
+DEFS["host_pagerank"] = (_q_host_pagerank, _SQL_HOST_PAGERANK)

@@ -58,11 +58,12 @@ for _mod in (
 # row is oldest — until the 50 slots are full. Entries past the
 # boundary keep their newest green CORRECTNESS_r{N} row as evidence;
 # nothing may rest on a row older than ~2 rounds before rotating back
-# in. Round-5 window: 8 changed/new queries (charset_extract is new;
+# in. Round-5 window: 11 changed/new queries (charset_extract /
+# duplicated_spans / curation_pipeline / host_pagerank are new;
 # extract_pages_job / warc_ingest / simhash64 / split_pdf_payloads
 # gained value oracles; media_features grew interlaced decode;
 # dedup_incremental / stream_stream_join got per-run staging paths),
-# then the 9 r2-era veterans VERDICT r4 queued by name, then 33 of
+# then the 9 r2-era veterans VERDICT r4 queued by name, then 30 of
 # the r3-green veterans. Below the boundary: the other r3 greens and
 # every r4-green window survivor (freshest evidence).
 MANIFEST: list[str] = [
@@ -77,6 +78,7 @@ MANIFEST: list[str] = [
     "split_pdf_payloads",
     "duplicated_spans",
     "curation_pipeline",
+    "host_pagerank",
     # -- r2-evidence veterans (VERDICT r4 "What's wrong" #1) ----------
     "rollup_counts",
     "pivot_event_types",
@@ -118,8 +120,8 @@ MANIFEST: list[str] = [
     "lang_id",
     "quality_scores",
     "parse_pages",
-    "stratified_sample",
     # ======================= driver window boundary ==================
+    "stratified_sample",
     "embedding_dup_pairs",
     "lsh_dup_candidates",
     "embedding_dup_pairs_lsh",
