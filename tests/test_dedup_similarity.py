@@ -502,3 +502,45 @@ def test_dedup_against_store_across_runs(spark, tmp_path):
     assert {r["doc_id"] for r in out2b.collect()} == {11, 13}
     reg = {r["fp"]: r["doc_id"] for r in store.read(spark).collect()}
     assert sorted(reg.values()) == [1, 2, 11, 13]
+
+
+def test_fp_bucket_store_modulus_pinned(spark, tmp_path):
+    """Round 5: the bucket count is pinned in the sidecar at creation;
+    reopening with a DIFFERENT n_buckets must honor the original
+    modulus (a mismatched bucketing would silently break partition
+    pruning and merge routing)."""
+    from pyspark.sql import functions as F
+
+    from westa_ocr_spark.operators.dedup import (
+        dedup_against_store,
+        fp_bucket_store,
+    )
+
+    path = str(tmp_path / "store")
+    store = fp_bucket_store(path, n_buckets=8)
+    assert store.fp_buckets == 8
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text body "), F.col("id")).alias("text"),
+    )
+    dedup_against_store(spark, docs, store)
+    # reopen asking for 64: sidecar wins
+    reopened = fp_bucket_store(path, n_buckets=64)
+    assert reopened.fp_buckets == 8
+    # a second batch through the reopened store stays consistent:
+    # same CONTENT under new ids is a re-crawl -> dropped by the
+    # store (identical (fp, doc_id) re-ingest would instead be the
+    # idempotent crash-retry case, which re-admits by design)
+    recrawl = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    out = dedup_against_store(spark, recrawl, reopened)
+    assert out.count() == 0
+    import os
+
+    buckets = {
+        d for d in os.listdir(path) if d.startswith("fp_bucket=")
+    }
+    assert buckets and all(
+        int(b.split("=")[1]) < 8 for b in buckets
+    )
