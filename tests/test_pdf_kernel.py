@@ -644,3 +644,29 @@ def test_aes256_wrong_password_still_errors():
     enc[at : at + 8] = b"00000000"
     with pytest.raises(ValueError, match="encrypted"):
         extract_pdf_pages(bytes(enc))
+
+
+def test_flatedecode_bomb_bounded():
+    """Round 5: a FlateDecode stream expanding past the 64 MB cap is a
+    clean per-document error, not an executor OOM."""
+    import zlib as _zlib
+
+    blob = _zlib.compress(b"\x00" * (70 * 1024 * 1024), 9)
+    # splice the bomb in as a FlateDecode content stream
+    base = write_pdf(["x"])
+    s = base.index(b"stream\n") + len(b"stream\n")
+    e = base.index(b"\nendstream", s)
+    old_len = e - s
+    bombed = (
+        base[:s] + blob + base[e:]
+    ).replace(
+        b"/Length " + str(old_len).encode(),
+        b"/Length " + str(len(blob)).encode(), 1,
+    )
+    # not valid Flate-marked? mark the stream as FlateDecode
+    bombed = bombed.replace(
+        b"<< /Length " + str(len(blob)).encode(),
+        b"<< /Filter /FlateDecode /Length " + str(len(blob)).encode(), 1,
+    )
+    with pytest.raises(ValueError):
+        extract_pdf_pages(bombed)

@@ -390,3 +390,29 @@ def test_content_type_charset_drives_extraction(spark, tmp_path):
     sjis = out["https://cs.example/sjis"]
     assert sjis["status"] == "DONE" and sjis["text"] == probe
     assert out["https://cs.example/plain"]["text"] == "plain ascii page"
+
+
+def test_decompression_bombs_are_bounded():
+    """Round 5: a small gzip body expanding past the 64 MB cap flags a
+    per-record decode error (never an executor OOM); a WARC member
+    bomb is a file-level ValueError."""
+    import gzip as _gzip
+
+    from westa_ocr_spark.sources.warc import parse_warc
+
+    bomb = _gzip.compress(b"\x00" * (70 * 1024 * 1024))  # ~70 KB in
+    http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + bomb)
+    head = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bomb.example/\r\n"
+        b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+        + f"Content-Length: {len(http)}\r\n".encode()
+        + b"\r\n"
+    )
+    rec = parse_warc(head + http + b"\r\n\r\n")[0]
+    assert rec["error"] and "cap" in rec["error"]
+
+    # member-level bomb: the gzip MEMBER itself inflates past the cap
+    member_bomb = _gzip.compress(b"\x00" * (300 * 1024 * 1024))
+    with pytest.raises(ValueError, match="cap"):
+        parse_warc(member_bomb)

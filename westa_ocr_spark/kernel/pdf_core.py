@@ -260,12 +260,28 @@ def _png_predictor(data: bytes, colors: int, bpc: int,
     return bytes(out)
 
 
+# FlateDecode inflate cap (round 5): matches the pipeline payload
+# cap — a stream bomb becomes a clean per-document ValueError (ERROR
+# row upstream), never an executor OOM
+_MAX_STREAM_BYTES = 64 * 1024 * 1024
+
+
+def _bounded_zdecompress(data: bytes, wbits: int) -> bytes:
+    d = zlib.decompressobj(wbits)
+    out = d.decompress(data, _MAX_STREAM_BYTES + 1)
+    if len(out) > _MAX_STREAM_BYTES:
+        raise ValueError(
+            f"FlateDecode stream exceeds {_MAX_STREAM_BYTES}-byte cap"
+        )
+    return out + d.flush()
+
+
 def _flate(data: bytes, parms: dict) -> bytes:
     try:
-        raw = zlib.decompress(data)
+        raw = _bounded_zdecompress(data, zlib.MAX_WBITS)
     except zlib.error:
         try:
-            raw = zlib.decompressobj(-15).decompress(data)  # raw deflate
+            raw = _bounded_zdecompress(data, -15)  # raw deflate
         except zlib.error as exc:
             raise ValueError(f"malformed PDF (flate: {exc})") from exc
     return _apply_predictor(raw, parms)

@@ -578,7 +578,23 @@ def decode_png_pixels(data: bytes):
     def row_stride(width):
         return (width * channels * depth + 7) // 8
 
-    raw = zlib.decompress(bytes(idat))
+    # bounded inflate: the expected raw size is KNOWN from the header
+    # (filtered scanlines of all passes); an IDAT bomb or short stream
+    # is a clean error, never an executor OOM
+    if interlace == 0:
+        expected = ((w * channels * depth + 7) // 8 + 1) * h
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                expected += ((pw * channels * depth + 7) // 8 + 1) * ph
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected + 1)
+    if len(raw) > expected:
+        raise ValueError("corrupt PNG (IDAT larger than declared size)")
+    raw += dec.flush()
     bpp = max(1, channels * depth // 8)  # filter distance in bytes
     if interlace == 0:
         stride = row_stride(w)

@@ -57,16 +57,28 @@ WARC_PAGES_SCHEMA = T.StructType(
 )
 
 
+# per-member inflate cap: a WARC record is one capture (bounded by
+# the crawler's own fetch limits); 256 MB is far above any legitimate
+# member and far below an executor OOM
+_MAX_MEMBER_BYTES = 256 * 1024 * 1024
+
+
 def _gzip_members(data: bytes) -> Iterator[bytes]:
-    """Decompress concatenated gzip members one at a time."""
+    """Decompress concatenated gzip members one at a time (inflate
+    bounded per member — a member bomb becomes a file-level ERROR
+    row, not an executor OOM)."""
     pos = 0
     n = len(data)
     while pos < n:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
-            chunk = d.decompress(data[pos:])
+            chunk = d.decompress(data[pos:], _MAX_MEMBER_BYTES + 1)
         except zlib.error as exc:
             raise ValueError(f"corrupt gzip member: {exc}") from exc
+        if len(chunk) > _MAX_MEMBER_BYTES:
+            raise ValueError(
+                f"gzip member exceeds {_MAX_MEMBER_BYTES}-byte cap"
+            )
         yield chunk + d.flush()
         consumed = (n - pos) - len(d.unused_data)
         if consumed <= 0:
@@ -152,11 +164,28 @@ def _parse_http_headers(raw: bytes) -> dict[bytes, bytes]:
     return headers
 
 
+# Decompression-bomb cap for HTTP bodies (round 5): matches the
+# extraction payload cap — a 60 KB gzip member expanding to gigabytes
+# must become an honest per-record ERROR, never an executor OOM.
+_MAX_BODY_BYTES = 64 * 1024 * 1024
+
+
+def _bounded_inflate(body: bytes, wbits: int,
+                     cap: int = _MAX_BODY_BYTES) -> bytes:
+    d = zlib.decompressobj(wbits)
+    out = d.decompress(body, cap + 1)
+    if len(out) > cap:
+        raise ValueError(
+            f"decompressed body exceeds {cap}-byte cap"
+        )
+    return out + d.flush()
+
+
 def _inflate(body: bytes) -> bytes:
     try:
-        return zlib.decompress(body)
+        return _bounded_inflate(body, zlib.MAX_WBITS)
     except zlib.error:
-        return zlib.decompress(body, -15)  # raw deflate
+        return _bounded_inflate(body, -15)  # raw deflate
 
 
 def _decode_http_body(headers: dict[bytes, bytes], body: bytes) -> bytes:
@@ -175,7 +204,7 @@ def _decode_http_body(headers: dict[bytes, bytes], body: bytes) -> bytes:
                 if coding == b"chunked":
                     body = _dechunk(body)
                 elif coding in (b"gzip", b"x-gzip"):
-                    body = gzip.decompress(body)
+                    body = _bounded_inflate(body, 16 + zlib.MAX_WBITS)
                 elif coding == b"deflate":
                     body = _inflate(body)
                 elif coding in (b"identity", b"none"):
