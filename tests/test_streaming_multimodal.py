@@ -950,3 +950,26 @@ def test_png_bit_depths_1_2_4_16():
         build(vals, 4, 0, interlace=1, raw_override=passes)
     )
     assert np.array_equal(got, (vals * 17).astype(np.uint8))
+
+
+def test_gif_lzw_bomb_bounded():
+    """Round 5: LZW output is cut at the declared raster size — a
+    crafted trailer of repeated max-length codes cannot balloon
+    memory past w*h."""
+    import time
+
+    from westa_ocr_spark.operators.multimodal import (
+        decode_gif_pixels,
+        write_gif,
+    )
+
+    base = write_gif(4, 4)
+    # splice an absurdly long LZW sub-block chain after the real data:
+    # without the raster-size guard this decodes to tens of MB
+    at = base.rindex(b"\x00;")
+    bomb = base[:at] + (b"\xff" + b"\x55" * 255) * 2000 + b"\x00;"
+    t0 = time.time()
+    px = decode_gif_pixels(bomb)
+    assert px.shape == (4, 4, 3)
+    assert (px == decode_gif_pixels(base)).all()
+    assert time.time() - t0 < 2.0  # guard active, not decoding 500KB

@@ -388,8 +388,11 @@ def decode_gif_pixels(data: bytes):
     table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
     acc = nbits = 0
     out = bytearray()
+    needed = w * h  # LZW-bomb guard: stop once the raster is full
     prev: bytes | None = None
     for byte in lzw:
+        if len(out) >= needed:
+            break
         acc |= byte << nbits
         nbits += 8
         while nbits >= width_bits:
