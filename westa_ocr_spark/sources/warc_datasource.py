@@ -44,7 +44,7 @@ from pyspark.sql.datasource import (
 from westa_ocr_spark.sources.warc import (
     WARC_PAGES_SCHEMA,
     _warc_ts,
-    parse_warc,
+    iter_warc_file,
 )
 
 
@@ -142,9 +142,11 @@ class WarcReader(DataSourceReader):
             return
         fpath = partition.path
         try:
-            with open(fpath, "rb") as fh:
-                data = fh.read()
-            for rec in parse_warc(data):
+            # STREAMING read (round 5): records come off the file one
+            # gzip member at a time, so task memory is bounded by one
+            # capture plus a 1 MB read chunk — not by the ~1 GiB
+            # segment the binaryFile composition must hold whole
+            for rec in iter_warc_file(fpath):
                 if rec["type"] != "response":
                     continue
                 url = rec["url"]
