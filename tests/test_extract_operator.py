@@ -148,3 +148,21 @@ def test_span_invariants_over_corpus():
                 data[sp["start"]:sp["end"]].decode("utf-8")  # no error
                 checked += 1
     assert checked > 500  # the corpus really exercised spans
+
+
+def test_media_payloads_named_in_error():
+    """Round 5: image/audio/video bytes in the html column ERROR with
+    the media kind named, not a cryptic charset decode message."""
+    from westa_ocr_spark.operators.extract import extract_rows
+
+    cases = [
+        (b"\x89PNG\r\n\x1a\n" + b"x" * 20, "image/png"),
+        (b"\xff\xd8\xff\xe0" + b"j" * 10, "image/jpeg"),
+        (b"GIF89a" + b"g" * 10, "image/gif"),
+        (b"RIFF....WAVEdata", "audio-video/riff"),
+        (b"\x00\x00\x00\x18ftypmp42....", "video/mp4"),
+    ]
+    for blob, kind in cases:
+        row = extract_rows("u", blob)[0]
+        assert row["status"] == "ERROR"
+        assert kind in row["error"], (kind, row["error"])

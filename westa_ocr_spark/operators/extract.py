@@ -77,6 +77,27 @@ def _pdf_line_spans(page_text: str) -> list[dict]:
 MAX_PAYLOAD_BYTES = 64 * 1024 * 1024
 
 
+_MEDIA_MAGIC = (
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"RIFF", "audio-video/riff"),
+    (b"ID3", "audio/mp3"),
+    (b"OggS", "audio/ogg"),
+    (b"\x1aE\xdf\xa3", "video/webm"),
+)
+
+
+def _media_magic(data: bytes) -> str | None:
+    for magic, kind in _MEDIA_MAGIC:
+        if data.startswith(magic):
+            return kind
+    if data[4:8] == b"ftyp":
+        return "video/mp4"
+    return None
+
+
 def extract_rows(url: str, data: bytes,
                  charset: str | None = None) -> list[dict]:
     """Pure per-document extraction: 1 doc -> N page rows.
@@ -116,6 +137,24 @@ def extract_rows(url: str, data: bytes,
                     f"extract: payload {input_bytes} bytes exceeds cap "
                     f"{MAX_PAYLOAD_BYTES}"
                 ),
+                "kind": "error",
+                "input_bytes": input_bytes,
+                "n_blocks": 0,
+            }
+        ]
+    media = _media_magic(data)
+    if media is not None:
+        # a known non-document payload (image/audio/video bytes in the
+        # html column): name the kind instead of surfacing a cryptic
+        # charset decode error (round 5 error-taxonomy polish)
+        return [
+            {
+                "url": url,
+                "page_index": 1,
+                "text": None,
+                "spans": None,
+                "status": "ERROR",
+                "error": f"extract: unsupported media kind {media}",
                 "kind": "error",
                 "input_bytes": input_bytes,
                 "n_blocks": 0,
