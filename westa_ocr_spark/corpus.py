@@ -60,6 +60,8 @@ _CHARSET_DIALECTS: tuple[tuple[str, str | None, str, str], ...] = (
     # UNDECLARED legacy page: no BOM, no meta — only the WHATWG
     # windows-1252 last resort decodes it (browsers never error here)
     ("plain", None, "cp1252", "Fenêtre déjà ouverte, çà et là rêvé."),
+    ("meta", "EUC-JP", "euc_jp", "日本語ページの別系統の符号化です。"),
+    ("http-equiv", "Big5", "big5", "繁體中文網頁內文測試句子。"),
 )
 
 
