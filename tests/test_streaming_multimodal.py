@@ -733,8 +733,8 @@ def test_media_features_query_covers_color_legs(spark):
 
     rows = _q_media_features(spark, "/root/testdata/sf0.001").collect()
     by_url = {r["url"]: r for r in rows}
-    # i%10: 3=420 color, 4=444 color, 5=progressive color, 6=restart
-    for u in ("doc://3", "doc://4", "doc://5", "doc://6"):
+    # i%11: 3=420 color, 4=444 color, 5=progressive, 6=restart, 9=422
+    for u in ("doc://3", "doc://4", "doc://5", "doc://6", "doc://9"):
         r = by_url[u]
         assert r["status"] == "DONE" and r["kind"] == "jpeg", u
         assert r["feature_sig"] and "|" in r["feature_sig"]
@@ -744,7 +744,7 @@ def test_media_features_query_covers_color_legs(spark):
     assert adam7["status"] == "DONE" and adam7["kind"] == "png"
     igif = by_url["doc://8"]
     assert igif["status"] == "DONE" and igif["kind"] == "gif"
-    err = by_url["doc://9"]
+    err = by_url["doc://10"]
     assert err["status"] == "ERROR"
 
 
@@ -973,3 +973,32 @@ def test_gif_lzw_bomb_bounded():
     assert px.shape == (4, 4, 3)
     assert (px == decode_gif_pixels(base)).all()
     assert time.time() - t0 < 2.0  # guard active, not decoding 500KB
+
+
+def test_jpeg_422_writer_roundtrip():
+    """Round 5: the 4:2:2 (horizontal-only chroma) writer emits
+    MCU-interleaved files our decoder reads back with smooth-gradient
+    fidelity comparable to 4:4:4, across awkward dimensions; restart
+    markers compose with it."""
+    import numpy as np
+
+    from westa_ocr_spark.kernel.jpeg_mini import (
+        decode_jpeg,
+        write_jpeg_color,
+    )
+
+    for w, h in [(40, 24), (17, 9), (33, 7)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        rgb = np.stack(
+            [np.clip(yy * 3 + 16, 0, 255), np.clip(xx * 2 + 32, 0, 255),
+             np.clip(xx + yy + 64, 0, 255)], axis=2
+        ).astype(np.uint8)
+        blob = write_jpeg_color(rgb, "422")
+        got = decode_jpeg(blob)
+        assert got.shape == (h, w, 3)
+        ref = decode_jpeg(write_jpeg_color(rgb, "444"))
+        assert np.abs(got.astype(int) - ref.astype(int)).mean() < 6.0
+        assert write_jpeg_color(rgb, "422") == blob
+    # with restart markers
+    blob = write_jpeg_color(rgb, "422", restart_interval=2)
+    assert b"\xff\xdd" in blob and decode_jpeg(blob).shape == (h, w, 3)

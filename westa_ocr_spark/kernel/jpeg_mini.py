@@ -301,26 +301,41 @@ def _subsample2(plane: np.ndarray) -> np.ndarray:
             + p[1::2, 1::2]) / 4.0
 
 
+def _subsample_h(plane: np.ndarray) -> np.ndarray:
+    """1x2 horizontal mean downsample (4:2:2; odd edge replicates)."""
+    h, w = plane.shape
+    pw = (w + 1) // 2 * 2
+    p = np.empty((h, pw), dtype=np.float64)
+    p[:, :w] = plane
+    if pw > w:
+        p[:, w:] = plane[:, w - 1 : w]
+    return (p[:, 0::2] + p[:, 1::2]) / 2.0
+
+
 def write_jpeg_color(rgb: np.ndarray, subsampling: str = "420",
                      restart_interval: int = 0) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as baseline YCbCr JFIF.
 
     ``subsampling``: ``"420"`` (2x2 luma sampling, the common crawl
-    layout) or ``"444"`` (no subsampling). Interleaved single-scan MCU
-    order, Annex-K luminance tables for Y and chrominance tables for
-    Cb/Cr — the layout libjpeg emits by default.
+    layout), ``"422"`` (horizontal-only chroma subsampling — the
+    camera/scanner layout, round 5) or ``"444"`` (none). Interleaved
+    single-scan MCU order, Annex-K luminance tables for Y and
+    chrominance tables for Cb/Cr — the layout libjpeg emits.
     """
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError("jpeg: expected (h, w, 3) RGB")
     h, w = rgb.shape[:2]
     if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
         raise ValueError("jpeg: bad dimensions")
-    if subsampling not in ("420", "444"):
-        raise ValueError("jpeg: subsampling must be '420' or '444'")
+    if subsampling not in ("420", "422", "444"):
+        raise ValueError("jpeg: subsampling must be '420', '422' or '444'")
     y, cb, cr = _rgb_to_ycbcr(rgb)
     if subsampling == "420":
         hy = vy = 2
         cb, cr = _subsample2(cb), _subsample2(cr)
+    elif subsampling == "422":
+        hy, vy = 2, 1
+        cb, cr = _subsample_h(cb), _subsample_h(cr)
     else:
         hy = vy = 1
     # pad each plane to MCU-aligned block grids

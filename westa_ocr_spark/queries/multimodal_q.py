@@ -37,19 +37,19 @@ def _media_df(spark, sf):
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
                 w, h = 16 + i % 32, 16 + (i * 7) % 32
-                if i % 10 == 0:
+                if i % 11 == 0:
                     blob = mm.write_jpeg(w, h)
-                elif i % 10 == 1:
+                elif i % 11 == 1:
                     blob = mm.write_png(w, h)
-                elif i % 10 == 2:
+                elif i % 11 == 2:
                     blob = mm.write_gif(w, h)
-                elif i % 10 == 3:
+                elif i % 11 == 3:
                     blob = mm.write_jpeg_rgb(w, h, "420")
-                elif i % 10 == 4:
+                elif i % 11 == 4:
                     blob = mm.write_jpeg_rgb(w, h, "444")
-                elif i % 10 == 5:
+                elif i % 11 == 5:
                     blob = mm.write_jpeg_progressive_rgb(w, h, "420")
-                elif i % 10 == 6:
+                elif i % 11 == 6:
                     from westa_ocr_spark.kernel.jpeg_mini import (
                         write_jpeg_gray,
                     )
@@ -60,12 +60,14 @@ def _media_df(spark, sf):
                         ((x * 31 + y * 17) % 256).astype(np.uint8),
                         restart_interval=2,
                     )
-                elif i % 10 == 7:  # round 5: Adam7-interlaced PNG
+                elif i % 11 == 7:  # round 5: Adam7-interlaced PNG
                     blob = mm.write_png(w, h, interlace=True)
-                elif i % 10 == 8:  # round 5: interlaced + LCT GIF
+                elif i % 11 == 8:  # round 5: interlaced + LCT GIF
                     blob = mm.write_gif(
                         w, h, interlace=True, local_palette=True
                     )
+                elif i % 11 == 9:  # round 5: 4:2:2 color JPEG
+                    blob = mm.write_jpeg_rgb(w, h, "422")
                 else:
                     blob = b"not an image " + str(i).encode()
                 urls.append(f"doc://{i}")
