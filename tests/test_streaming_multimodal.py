@@ -1002,3 +1002,29 @@ def test_jpeg_422_writer_roundtrip():
     # with restart markers
     blob = write_jpeg_color(rgb, "422", restart_interval=2)
     assert b"\xff\xdd" in blob and decode_jpeg(blob).shape == (h, w, 3)
+
+
+def test_wav_layouts_mono_stereo_8_16bit():
+    """Round 5: mono/stereo x 8/16-bit PCM decode (stereo integer-mean
+    downmix, unsigned-8-bit rescale); 24-bit stays a clean error."""
+    import struct as _struct
+
+    import numpy as np
+
+    from westa_ocr_spark.operators.multimodal import decode_wav, write_wav
+
+    r, s = decode_wav(write_wav(200, period=20))
+    assert r == 8000 and len(s) == 200 and s.dtype == np.int16
+    # stereo writes R = -L, so the downmix (L + -L)//2 is 0 or -1
+    _, s2 = decode_wav(write_wav(200, period=20, channels=2))
+    assert len(s2) == 200 and set(np.unique(s2)).issubset({0, -1})
+    _, s3 = decode_wav(write_wav(200, period=20, bits=8))
+    assert len(s3) == 200 and s3.min() < -10000 < 10000 < s3.max()
+    _, s4 = decode_wav(write_wav(64, period=8, channels=2, bits=8))
+    assert len(s4) == 64
+    fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    blob = (b"RIFF" + _struct.pack("<I", 28) + b"WAVE"
+            + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="8/16-bit"):
+        decode_wav(blob)

@@ -733,17 +733,28 @@ def extract_image_features(media: DataFrame, url_col: str = "url",
 # --------------------------------------------------------------------------
 # Audio: real WAV PCM decode + MP3 frame-header metadata (round 3)
 
-def write_wav(n_samples: int, period: int = 50, rate: int = 8000) -> bytes:
-    """REAL RIFF/WAVE file: 16-bit mono PCM, deterministic integer
-    sawtooth (no float trig, so bytes are identical everywhere)."""
+def write_wav(n_samples: int, period: int = 50, rate: int = 8000,
+              channels: int = 1, bits: int = 16) -> bytes:
+    """REAL RIFF/WAVE file: PCM with a deterministic integer sawtooth
+    (no float trig, so bytes are identical everywhere). Round 5:
+    mono/stereo x 8/16-bit layouts (stereo writes L and an inverted R
+    so downmix behavior is observable)."""
+    if channels not in (1, 2) or bits not in (8, 16):
+        raise ValueError("wav writer: channels in (1,2), bits in (8,16)")
     amp_step = 30000 // max(period, 1)
-    samples = b"".join(
-        struct.pack(
-            "<h", ((k % period) - period // 2) * amp_step
-        )
-        for k in range(n_samples)
-    )
-    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    out = bytearray()
+    for k in range(n_samples):
+        v = ((k % period) - period // 2) * amp_step
+        frame = [v] if channels == 1 else [v, -v]
+        for sv in frame:
+            if bits == 16:
+                out += struct.pack("<h", sv)
+            else:
+                out += struct.pack("<B", (sv >> 8) + 128)
+    samples = bytes(out)
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block,
+                      block, bits)
     chunks = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -755,15 +766,17 @@ def write_wav(n_samples: int, period: int = 50, rate: int = 8000) -> bytes:
 def decode_wav(data: bytes):
     """(sample_rate, np.int16 samples) from a PCM RIFF/WAVE payload.
 
-    Mono 16-bit PCM only (the overwhelming crawl-audio normal form
-    after transcoding); compressed codecs raise ``ValueError``."""
+    Round 5: mono/stereo x 8/16-bit PCM (stereo downmixes by integer
+    mean, 8-bit unsigned rescales to int16), i.e. the common
+    crawl-audio layouts; compressed codecs raise ``ValueError``."""
     import numpy as np
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     rate = None
-    samples = None
+    raw = None
+    channels = bits = 0
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -776,16 +789,28 @@ def decode_wav(data: bytes):
             )
             if audio_fmt != 1:
                 raise ValueError("unsupported WAV (non-PCM codec)")
-            if channels != 1 or bits != 16:
-                raise ValueError("unsupported WAV (not 16-bit mono)")
+            if channels not in (1, 2) or bits not in (8, 16):
+                raise ValueError(
+                    "unsupported WAV (not 8/16-bit mono/stereo)"
+                )
         elif cid == b"data":
-            samples = np.frombuffer(
-                body[: len(body) // 2 * 2], dtype="<i2"
-            )
+            raw = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
-    if rate is None or samples is None:
+    if rate is None or raw is None:
         raise ValueError("corrupt WAV (missing fmt/data chunk)")
+    if bits == 16:
+        samples = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2")
+    else:  # 8-bit PCM is UNSIGNED per spec
+        samples = (
+            (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128)
+            * 256
+        )
+    if channels == 2:
+        n = len(samples) // 2 * 2
+        pair = samples[:n].reshape(-1, 2).astype(np.int32)
+        samples = ((pair[:, 0] + pair[:, 1]) // 2).astype(np.int16)
     return rate, samples
+
 
 
 _MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96,
