@@ -57,6 +57,7 @@ HEADLINE = [
     # round 5
     "duplicated_spans",
     "charset_extract",
+    "host_pagerank",
 ]
 
 

@@ -170,8 +170,12 @@ def _q_audio_features(spark, sf):
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
                 if i % 3 == 0:
+                    # cycle the PCM layouts (round 5): mono/stereo,
+                    # 8/16-bit
                     blob = mm.write_wav(
-                        800 + (i * 31) % 1600, period=20 + i % 80
+                        800 + (i * 31) % 1600, period=20 + i % 80,
+                        channels=1 + (i // 3) % 2,
+                        bits=16 if i % 2 else 8,
                     )
                 elif i % 3 == 1:
                     blob = mm.write_mp3_header(n_frames=2 + i % 4)
