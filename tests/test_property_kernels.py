@@ -233,3 +233,47 @@ def test_charset_declared_roundtrip(body, label):
     text, enc = decode_html_bytes(raw)
     assert text == raw.decode("cp932")
     assert enc == "cp932"
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=800))
+def test_gif_decoder_total(data):
+    """decode_gif_pixels raises ONLY ValueError on arbitrary bytes
+    (round-5 fuzz found struct.error/IndexError escapes on truncated
+    descriptors / color tables / missing LZW code size)."""
+    from westa_ocr_spark.operators.multimodal import decode_gif_pixels
+
+    try:
+        decode_gif_pixels(b"GIF89a" + data)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(0, 10**9), st.integers(0, 255), st.integers(0, 10**9))
+def test_png_gif_mutation_total(pos, val, seed):
+    """Single-byte corruption of REAL png/gif files (incl. interlaced
+    and local-palette layouts) either decodes or raises ValueError —
+    round-5 fuzz found corrupt IDAT escaping as zlib.error."""
+    from westa_ocr_spark.operators.multimodal import (
+        decode_gif_pixels,
+        decode_png_pixels,
+        write_gif,
+        write_png,
+    )
+
+    png = bytearray(write_png(9 + seed % 8, 7 + seed % 5,
+                              interlace=bool(seed % 2)))
+    png[pos % len(png)] = val
+    try:
+        decode_png_pixels(bytes(png))
+    except ValueError:
+        pass
+    gif = bytearray(write_gif(9 + seed % 8, 7 + seed % 5,
+                              interlace=bool(seed % 2),
+                              local_palette=seed % 3 == 0))
+    gif[pos % len(gif)] = val
+    try:
+        decode_gif_pixels(bytes(gif))
+    except ValueError:
+        pass

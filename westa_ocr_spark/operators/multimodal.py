@@ -344,6 +344,8 @@ def decode_gif_pixels(data: bytes):
     pal = None
     if packed & 0x80:
         gct_n = 2 << (packed & 0x07)
+        if pos + 3 * gct_n > len(data):
+            raise ValueError("corrupt GIF (truncated global color table)")
         pal = np.frombuffer(
             data[pos : pos + 3 * gct_n], dtype=np.uint8
         ).reshape(-1, 3)
@@ -363,17 +365,23 @@ def decode_gif_pixels(data: bytes):
             raise ValueError(f"corrupt GIF (unexpected block {b:#x})")
     if pos >= len(data) or data[pos] != 0x2C:
         raise ValueError("corrupt GIF (no image descriptor)")
+    if pos + 10 > len(data):
+        raise ValueError("corrupt GIF (truncated image descriptor)")
     _l, _t, w, h, ipacked = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
     interlaced = bool(ipacked & 0x40)
     pos += 10
     if ipacked & 0x80:  # local color table overrides the global one
         lct_n = 2 << (ipacked & 0x07)
+        if pos + 3 * lct_n > len(data):
+            raise ValueError("corrupt GIF (truncated local color table)")
         pal = np.frombuffer(
             data[pos : pos + 3 * lct_n], dtype=np.uint8
         ).reshape(-1, 3)
         pos += 3 * lct_n
     if pal is None:
         raise ValueError("unsupported GIF (no color table)")
+    if pos >= len(data):
+        raise ValueError("corrupt GIF (missing LZW minimum code size)")
     min_code = data[pos]
     pos += 1
     lzw = bytearray()
@@ -594,10 +602,13 @@ def decode_png_pixels(data: bytes):
             if pw > 0 and ph > 0:
                 expected += ((pw * channels * depth + 7) // 8 + 1) * ph
     dec = zlib.decompressobj()
-    raw = dec.decompress(bytes(idat), expected + 1)
-    if len(raw) > expected:
-        raise ValueError("corrupt PNG (IDAT larger than declared size)")
-    raw += dec.flush()
+    try:
+        raw = dec.decompress(bytes(idat), expected + 1)
+        if len(raw) > expected:
+            raise ValueError("corrupt PNG (IDAT larger than declared size)")
+        raw += dec.flush()
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG (IDAT inflate: {exc})") from exc
     bpp = max(1, channels * depth // 8)  # filter distance in bytes
     if interlace == 0:
         stride = row_stride(w)
