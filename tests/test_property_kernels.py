@@ -277,3 +277,36 @@ def test_png_gif_mutation_total(pos, val, seed):
         decode_gif_pixels(bytes(gif))
     except ValueError:
         pass
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.integers(0, 10**9), st.integers(0, 255), st.integers(0, 4))
+def test_jpeg_mutation_total(pos, val, which):
+    """Single-byte corruption of real baseline/progressive color
+    JPEGs (all subsamplings + restarts) raises ONLY ValueError —
+    round-5 fuzz found DHT count/value mismatches, truncated SOF/SOS
+    headers, out-of-range DC categories (unbounded predictors) and
+    double-SOF grid re-dimensioning escaping as
+    IndexError/OverflowError/struct.error."""
+    import numpy as np
+
+    from westa_ocr_spark.kernel.jpeg_mini import (
+        decode_jpeg,
+        write_jpeg_color,
+        write_jpeg_progressive,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    rgb = np.stack(
+        [np.clip(yy * 3 + 16, 0, 255), np.clip(xx * 2 + 32, 0, 255),
+         np.clip(xx + yy + 64, 0, 255)], axis=2
+    ).astype(np.uint8)
+    bases = [write_jpeg_color(rgb, s) for s in ("420", "422", "444")]
+    bases.append(write_jpeg_color(rgb, "420", restart_interval=2))
+    bases.append(write_jpeg_progressive(rgb, "420"))
+    base = bytearray(bases[which])
+    base[pos % len(base)] = val
+    try:
+        decode_jpeg(bytes(base))
+    except ValueError:
+        pass

@@ -657,6 +657,10 @@ class _BitReader:
 
 def _huff_decode_table(bits: list[int], vals: list[int]) -> dict:
     """(length, code) -> symbol."""
+    if sum(bits) > len(vals):
+        # corrupt DHT: the per-length counts promise more symbols
+        # than the segment carries (round-5 mutation fuzz)
+        raise ValueError("jpeg: DHT counts/values mismatch")
     table: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
@@ -691,8 +695,12 @@ def _decode_block(br: _BitReader, dct: dict, act: dict, qt: np.ndarray,
     """Huffman-decode + dequantize one block; returns (block, new DC)."""
     zz = np.zeros(64, dtype=np.int64)
     cat = _read_symbol(br, dct)
+    if cat > 15:
+        raise ValueError("jpeg: DC category out of range")
     diff = _extend(br.bits(cat), cat) if cat else 0
     prev_dc += diff
+    if abs(prev_dc) > (1 << 40):
+        raise ValueError("jpeg: DC predictor out of range")
     zz[0] = prev_dc
     k = 1
     while k < 64:
@@ -728,8 +736,15 @@ def _coef_block_first(br, cof, dct, act, ss, se, al, dcpred, eobrun):
     """First-pass (Ah=0) decode of one block's [ss, se] band."""
     if ss == 0:
         cat = _read_symbol(br, dct)
+        if cat > 15:
+            # a corrupt DC table can map to symbols > the T.81 max
+            # category; unchecked, the predictor grows into unbounded
+            # ints and overflows the int64 grid (round-5 fuzz)
+            raise ValueError("jpeg: DC category out of range")
         diff = _extend(br.bits(cat), cat) if cat else 0
         dcpred += diff
+        if abs(dcpred) > (1 << 40):  # far outside any real DC range
+            raise ValueError("jpeg: DC predictor out of range")
         cof[0] = dcpred << al
         k = 1
     else:
@@ -875,9 +890,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 qtables[pq_tq & 0x0F] = tbl.reshape(8, 8)
                 at += 65
         elif marker in (0xC0, 0xC2):
+            if comps:
+                # a second frame header would re-dimension the
+                # coefficient grids under the scan loop (round-5 fuzz)
+                raise ValueError("jpeg: multiple SOF frames")
+            if len(body) < 6:
+                raise ValueError("jpeg: truncated SOF header")
             _prec, hh, ww, ncomp = struct.unpack(">BHHB", body[:6])
             if ncomp not in (1, 3):
                 raise ValueError("jpeg: 1 or 3 components only")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("jpeg: truncated SOF header")
             h, w = hh, ww
             for ci in range(ncomp):
                 cid = body[6 + 3 * ci]
@@ -895,6 +918,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xC4:
             at = 0
             while at < len(body):
+                if at + 17 > len(body):
+                    raise ValueError("jpeg: truncated DHT segment")
                 tc_th = body[at]
                 bits = list(body[at + 1 : at + 17])
                 nv = sum(bits)
@@ -908,7 +933,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:
             if h is None:
                 raise ValueError("jpeg: SOS before SOF")
+            if not body:
+                raise ValueError("jpeg: empty SOS header")
             ns = body[0]
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("jpeg: truncated SOS header")
             scan_comps: list[tuple[int, dict | None, dict | None]] = []
             cid_index = {c[0]: i for i, c in enumerate(comps)}
             for si in range(ns):
@@ -922,6 +951,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 )
             ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
             ah, al = a >> 4, a & 0x0F
+            if ss > 63 or se > 63 or ah > 13 or al > 13:
+                # T.81 limits; a corrupted Al would left-shift DC
+                # predictions into unbounded ints (round-5 fuzz)
+                raise ValueError("jpeg: invalid scan spectral params")
             ent_start = pos + 2 + seglen
             ent_end = _scan_end(data, ent_start)
             _run_scan(
