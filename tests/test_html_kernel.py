@@ -198,3 +198,21 @@ def test_undeclared_cp1252_last_resort():
                  "plain text caf\xe9".encode("cp1252")):
         with pytest.raises(UnicodeDecodeError):
             decode_html_bytes(junk)
+
+
+def test_bomless_utf16_sniffed_by_markup_signature():
+    """Round 5: BOM-less UTF-16 markup is detected from the
+    unambiguous '<\\x00' / '\\x00<' opening signature; odd-length or
+    non-markup-leading UTF-16 stays on the ERROR path."""
+    from westa_ocr_spark.kernel.html_extract import decode_html_bytes
+
+    doc = "<html><body><p>utf16 no bom ページ</p></body></html>"
+    for enc, name in (("utf-16-le", "utf-16-le"), ("utf-16-be",
+                                                   "utf-16-be")):
+        raw = doc.encode(enc)
+        text, got = decode_html_bytes(raw)
+        assert got == name and text == doc
+        assert extract_html(raw)[0] == "utf16 no bom ページ"
+    # odd length (truncated) -> error, not garbage
+    with pytest.raises(UnicodeDecodeError):
+        decode_html_bytes(doc.encode("utf-16-le")[:-1])

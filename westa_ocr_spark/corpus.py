@@ -62,6 +62,9 @@ _CHARSET_DIALECTS: tuple[tuple[str, str | None, str, str], ...] = (
     ("plain", None, "cp1252", "Fenêtre déjà ouverte, çà et là rêvé."),
     ("meta", "EUC-JP", "euc_jp", "日本語ページの別系統の符号化です。"),
     ("http-equiv", "Big5", "big5", "繁體中文網頁內文測試句子。"),
+    # BOM-LESS UTF-16-LE: only the '<\x00' markup-signature sniff
+    # decodes it (no BOM, no meta possible at the byte level)
+    ("nobom16", None, "utf-16-le", "Zeichenkodierung ohne BOM geprüft."),
 )
 
 
@@ -177,6 +180,8 @@ def make_html(i: int, seed: int = 42, oversized: bool = False) -> bytes:
         import codecs
 
         return codecs.BOM_UTF16_LE + html.encode("utf-16-le")
+    if meta_style == "nobom16":
+        return html.encode("utf-16-le")
     return html.encode(pycodec)
 
 

@@ -156,6 +156,13 @@ def decode_html_bytes(
     try:
         return data.decode("utf-8"), "utf-8"
     except UnicodeDecodeError:
+        # BOM-less UTF-16: markup opening "<" encoded 16-bit is the
+        # unambiguous two-byte signature "<\x00" (LE) / "\x00<" (BE) \u2014
+        # no other accepted encoding starts a document that way
+        if data[:2] == b"<\x00" and len(data) % 2 == 0:
+            return data.decode("utf-16-le"), "utf-16-le"
+        if data[:2] == b"\x00<" and len(data) % 2 == 0:
+            return data.decode("utf-16-be"), "utf-16-be"
         # WHATWG last resort: browsers decode undeclared legacy pages
         # as windows-1252 (the spec's default for most locales) and
         # never error. Gate on the bytes LOOKING like markup/text \u2014
