@@ -41,9 +41,11 @@ CORPUS_VERSION = 7
 # Charset dialects (corpus v7): a real crawl is not all-UTF-8, so
 # HTML docs cycle declared charsets. Each entry is
 # (meta_style, declared_label, python_codec, native_sentence);
-# meta_style: "plain" = no declaration (UTF-8 default path),
-# "meta" = <meta charset=...>, "http-equiv" = the legacy
-# Content-Type meta, "bom16" = UTF-16-LE with BOM and no meta.
+# meta_style: "plain" = no declaration (UTF-8 default path, or the
+# undeclared-cp1252 last-resort leg), "meta" = <meta charset=...>,
+# "http-equiv" = the legacy Content-Type meta, "bom16" = UTF-16-LE
+# with BOM, "nobom16" = UTF-16-LE with NO BOM (markup-signature
+# sniff only).
 # Native sentences keep the non-ASCII planes honest (the rest of the
 # grammar is ASCII and would decode identically under any charset).
 _CHARSET_DIALECTS: tuple[tuple[str, str | None, str, str], ...] = (
