@@ -122,6 +122,49 @@ def test_lang_id_twelve_languages(spark):
     assert got == {lang: lang for lang in samples}
 
 
+def test_with_lang_id_matches_jvm_form(spark):
+    """Round 6: with_lang_id moved to a vectorized Arrow batch (the
+    JVM higher-order-function form was the bench's slowest query).
+    Marker counts are integers, so the two forms must agree EXACTLY —
+    including ties (argmax to the alphabetically smallest language),
+    consecutive stopwords, shared markers (' de ' in nl and pt), CJK
+    substring counts, empty and null text."""
+    from pyspark.sql import functions as F
+
+    from westa_ocr_spark.functions.textfns import (
+        lang_best_struct,
+        lang_from_best,
+        with_lang_id,
+    )
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "the the the"),
+        (3, "de de"),                 # nl/pt tie -> nl
+        (4, "の の はです"),
+        (5, "xyz qqq"),
+        (6, " the "),
+        (7, "e e y y"),               # es/it tie -> es
+        (8, "i w nie il e di"),
+        (9, "the und le el il o de och i и の 的"),  # 12-way spread
+        (10, "word " * 40 + " the and of"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    jvm = {
+        r["id"]: r["l"]
+        for r in df.select(
+            "id",
+            lang_from_best(lang_best_struct(F.col("text"))).alias("l"),
+        ).collect()
+    }
+    arrow = {
+        r["id"]: r["lang_id"]
+        for r in with_lang_id(df, "text").select("id", "lang_id").collect()
+    }
+    assert arrow == jvm
+
+
 def test_lang_id_und_for_no_markers(spark):
     from westa_ocr_spark.functions.textfns import lang_id
     from pyspark.sql import functions as F
