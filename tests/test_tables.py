@@ -45,6 +45,28 @@ def test_upsert_dedupes_incoming_batch(spark, tbl):
     assert len(_rows(spark, tbl)) == 2
 
 
+def test_upsert_unique_keys_fastpath_matches_default(spark, tmp_path):
+    """Round 6: ``unique_keys=True`` skips the J5 dedup shuffle for
+    batches the caller guarantees key-unique — the merged table must
+    be identical to the default path, on both the unpartitioned and
+    the bucket-partitioned merge."""
+    for part in (None, "p"):
+        a = ParquetTable(str(tmp_path / f"a_{part}"), partition_by=part)
+        b = ParquetTable(str(tmp_path / f"b_{part}"), partition_by=part)
+        base = spark.createDataFrame(
+            [(1, 1, "old"), (2, 2, "keep")], ["k", "p", "v"]
+        )
+        batch = spark.createDataFrame(
+            [(1, 1, "new"), (3, 1, "add")], ["k", "p", "v"]
+        )
+        for t, fast in ((a, False), (b, True)):
+            t.merge_upsert(spark, base, keys=["k"], unique_keys=fast)
+            t.merge_upsert(spark, batch, keys=["k"], unique_keys=fast)
+        assert _rows(spark, a) == _rows(spark, b) == {
+            (1, 1): "new", (2, 2): "keep", (3, 1): "add"
+        }
+
+
 def test_keyed_table_picks_parquet_without_iceberg(spark, tmp_path):
     t = keyed_table(spark, str(tmp_path / "x"))
     assert isinstance(t, ParquetTable)

@@ -191,6 +191,14 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     doc_a < doc_b, ordered by (jaccard desc, doc_a, doc_b).
     """
     sh = _with_shingles(docs, id_col, text_col, k, distinct=True)
+    # materialize the shingle set once (round 6, guide §2.4): it feeds
+    # the hot-list gate, the hot-list broadcast build, the sizes agg
+    # and BOTH self-join sides — five subtree evaluations of
+    # normalize+split+explode+distinct without it (exchange reuse only
+    # dedupes the two identical join sides). The materialized rows are
+    # the same (doc_id, shingle) pairs the self-join shuffles anyway,
+    # so task memory is not widened. Measured 1.01 -> 0.66 s at sf1.0.
+    sh = sh.localCheckpoint(eager=True)
     if max_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -528,6 +536,11 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
             neigh, labels["node"] == neigh["node2"], "left"
         ).select(
             "node",
+            # previous label carried through the round so the
+            # convergence check is a filter over the checkpointed
+            # output instead of a join back onto the old labels
+            # (round 6: one shuffle join less per iteration)
+            F.col("component").alias("_prev"),
             F.least(
                 F.col("component"),
                 F.coalesce(F.col("neigh_min"), F.col("component")),
@@ -542,6 +555,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
             hop.join(parent, hop["component"] == parent["p_node"], "left")
             .select(
                 "node",
+                "_prev",
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("p_comp"), F.col("component")),
@@ -549,13 +563,10 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(
+            F.col("component") != F.col("_prev")
+        ).count()
+        labels = updated.select("node", "component")
         if changed == 0:
             return labels
     raise ValueError(
@@ -839,7 +850,11 @@ def dedup_against_store(spark, docs: DataFrame, store,
     # this batch registered), never double-admits a duplicate, and
     # never loses a batch whose commit landed before the crash
     merge_cols = ["fp", "doc_id"] + ([FP_BUCKET_COL] if bucketed else [])
-    store.merge_upsert(spark, canon.select(*merge_cols), keys=["fp"])
+    # canon is a groupBy("fp") output — key-unique by construction, so
+    # the sink's J5 dedup shuffle is pure overhead here (round 6)
+    store.merge_upsert(
+        spark, canon.select(*merge_cols), keys=["fp"], unique_keys=True
+    )
     post = store.read(spark)
     if bucketed:
         post = post.filter(F.col(FP_BUCKET_COL).isin(buckets))

@@ -72,9 +72,20 @@ def _q_tpch_q3(spark, sf):
     li = _t(spark, sf, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,4)")
     disc = F.col("l_discount").cast("decimal(5,3)")
+    # Round 6 (guide §3.1): reduce the broadcast side BEFORE the fact
+    # join — the planner was broadcasting ALL 1.5M orders (building the
+    # hash relation is the query's critical path) and dropping the 4/5
+    # non-BUILDING rows only after the lineitem probe. Joining
+    # orders⋈customer first shrinks the build side 5x and the probe
+    # output falls out pre-filtered (measured 1.8 -> 1.25 s at sf1.0;
+    # inner equi-join reorder + exact decimal sums, so the result is
+    # unchanged).
+    orders_bldg = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "o_orderdate")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(F.broadcast(orders_bldg),
+                li.l_orderkey == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             round_det(
@@ -1065,17 +1076,31 @@ def _q_tpch_q21(spark, sf):
         (F.col("l_shipdate")
          > F.expr("o_orderdate + INTERVAL 90 DAYS")).alias("late"),
     )
-    per_supp = lines.groupBy("o_orderkey", "l_suppkey").agg(
-        F.max(F.col("late").cast("int")).alias("was_late")
+    # Round 6 (guide §2.4): the per_supp ⋈ per_order self-join
+    # duplicated the whole lineitem⋈orders⋈aggregate subtree — the
+    # before-plan ran TWO full lineitem scans and 18 Exchanges. The
+    # per-order counts are a window over the same key instead: one
+    # keyed repartition on o_orderkey establishes a partitioning that
+    # BOTH the (o_orderkey, l_suppkey) aggregation (subset clustering)
+    # and the window reuse, so the plan is one scan and one mid-plan
+    # exchange (measured 1.84 -> 1.60 s best at sf1.0; counts are
+    # integers over the identical row set, so results are unchanged).
+    per_supp = (
+        lines.repartition(F.col("o_orderkey"))
+        .groupBy("o_orderkey", "l_suppkey")
+        .agg(F.max(F.col("late").cast("int")).alias("was_late"))
     )
-    per_order = per_supp.groupBy("o_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("was_late").alias("n_late"),
-    )
+    w_ord = Window.partitionBy("o_orderkey")
     waiting = (
-        per_supp.filter(F.col("was_late") == 1)
-        .join(per_order, "o_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        per_supp.select(
+            "o_orderkey", "l_suppkey", "was_late",
+            F.count(F.lit(1)).over(w_ord).alias("n_supp"),
+            F.sum("was_late").over(w_ord).alias("n_late"),
+        )
+        .filter(
+            (F.col("was_late") == 1)
+            & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+        )
     )
     return (
         waiting.join(F.broadcast(supp),

@@ -197,7 +197,8 @@ class ParquetTable:
         self._writer(df).mode("overwrite").parquet(self.path)
 
     def merge_upsert(
-        self, spark: SparkSession, df: DataFrame, keys: list[str]
+        self, spark: SparkSession, df: DataFrame, keys: list[str],
+        unique_keys: bool = False,
     ) -> dict | None:
         """Upsert df by keys: new rows win over existing rows.
 
@@ -205,10 +206,15 @@ class ParquetTable:
         (``/root/reference/app/repository.py:256-262``). The incoming
         batch is key-deduplicated first (J5 idempotency — duplicate
         requests collapse to one row, ``/root/reference/app/main.py:
-        165-188``). On the partitioned path, returns the measured
-        rewrite-amplification stats.
+        165-188``); a caller whose batch is ALREADY key-unique (e.g. a
+        groupBy(keys) output) passes ``unique_keys=True`` to skip the
+        dedup shuffle, which the partitioned path would otherwise pay
+        once per evaluation of ``df`` (round 6, guide §2.4). On the
+        partitioned path, returns the measured rewrite-amplification
+        stats.
         """
-        df = df.dropDuplicates(keys)
+        if not unique_keys:
+            df = df.dropDuplicates(keys)
         if not self.exists():
             self.overwrite(df)
             return None
@@ -376,19 +382,22 @@ class IcebergTable:
         return spark.read.table(self.identifier)
 
     def merge_upsert(
-        self, spark: SparkSession, df: DataFrame, keys: list[str]
+        self, spark: SparkSession, df: DataFrame, keys: list[str],
+        unique_keys: bool = False,
     ) -> None:
         """Emit the Iceberg MERGE for an idempotent keyed upsert.
 
         The incoming batch is key-deduplicated first — Iceberg's MERGE
         throws on multiple source matches per target row, and the
         reference's ON CONFLICT contract collapses duplicate requests
-        to one row anyway. Contract-tested through a stub session
-        (tests/test_tables.py) since no Iceberg runtime jar ships in
-        this sandbox; see scripts/submit.sh for the spark-submit
-        recipe that enables the real catalog.
+        to one row anyway (``unique_keys=True`` skips the shuffle for
+        batches that are already key-unique). Contract-tested through
+        a stub session (tests/test_tables.py) since no Iceberg runtime
+        jar ships in this sandbox; see scripts/submit.sh for the
+        spark-submit recipe that enables the real catalog.
         """
-        df = df.dropDuplicates(keys)
+        if not unique_keys:
+            df = df.dropDuplicates(keys)
         view = f"_merge_src_{uuid.uuid4().hex[:8]}"
         df.createOrReplaceTempView(view)
         on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
