@@ -715,6 +715,13 @@ def duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
             "pos", "_shingle"
         ),
     ).select("doc_id", "pos", F.xxhash64("_shingle").alias("h"))
+    # materialize the (doc_id, pos, h) triples once (round 6): they
+    # feed BOTH the duplicated-hash aggregation and the marked
+    # semi-join probe — without this the normalize+split+shingle+
+    # explode subtree runs twice. Only 24 bytes/shingle materialize,
+    # the same rows the aggregation shuffles anyway. Measured
+    # 1.0 -> 0.74 s at sf1.0.
+    sh = sh.localCheckpoint(eager=True)
     dup = (
         sh.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

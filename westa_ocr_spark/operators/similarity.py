@@ -51,11 +51,23 @@ def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     The query vector travels as a literal array (closure broadcast);
     similarity math runs entirely JVM-side.
     """
+    import math
+
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # query-vector norm computed ONCE on the driver with the exact
+    # fold order of _norm (left-to-right sum of squares, IEEE doubles,
+    # math.sqrt == JVM sqrt), instead of re-deriving it per scanned
+    # row through an interpreted higher-order aggregate (round 6;
+    # measured 0.65 -> 0.42 s over 20k vectors at sf1.0)
+    acc = 0.0
+    for x in query_vec:
+        acc += float(x) * float(x)
+    q_norm = math.sqrt(acc)
     scored = embeddings.select(
         F.col(id_col).alias("vec_id"),
         round_det(
-            _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)), 6
+            _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(q_norm)),
+            6,
         ).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), "vec_id").limit(k)

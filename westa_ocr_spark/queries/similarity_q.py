@@ -59,30 +59,32 @@ def _q_embedding_knn(spark, sf):
     # 5.1 s -> 2.6 s at sf1.0). The norm expression itself is
     # unchanged, so every carried value is bit-identical to the
     # per-pair evaluation and the rounded cosine cannot move.
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
+    # float->double casts are hoisted per ROW too (exact: every float
+    # is representable as a double), so the per-pair dot lambda is a
+    # bare multiply-accumulate over pre-cast arrays.
     emb = _t(spark, sf, "embeddings").select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("_nrm")
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("_ed"),
+    ).select(
+        "vec_id", "_ed",
+        F.sqrt(
+            F.aggregate(
+                F.transform("_ed", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("_nrm"),
     )
     probes = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("probe_vec"),
+        F.col("_ed").alias("_pd"),
         F.col("_nrm").alias("_probe_nrm"),
     )
     joined = probes.crossJoin(emb).filter(
         F.col("vec_id") != F.col("probe_id")
     )
     dot = F.aggregate(
-        F.zip_with(
-            "probe_vec",
-            "embedding",
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
+        F.zip_with("_pd", "_ed", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
