@@ -421,6 +421,28 @@ def _perm_params(num_perm: int) -> list[tuple[int, int]]:
     return out
 
 
+# Constant Column expressions cached per (SparkContext, params): the
+# 128 permutation aggregates are ~800 py4j constructor round-trips,
+# measured ~1 s of DRIVER time per query invocation (round 6, guide
+# §7.3 "planning time itself can become the bottleneck"). Column
+# objects are immutable expression handles, safe to reuse across
+# queries on the same context; keying by id(sc) drops the cache when
+# a new context (new JVM gateway) appears.
+_EXPR_CACHE: dict = {}
+
+
+def _cached_cols(kind: str, params: tuple, build):
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = (id(sc), kind, params)
+    cols = _EXPR_CACHE.get(key)
+    if cols is None:
+        cols = build()
+        _EXPR_CACHE[key] = cols
+    return cols
+
+
 def minhash_signatures_fast(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
                             num_perm: int = NUM_PERM) -> DataFrame:
@@ -435,12 +457,17 @@ def minhash_signatures_fast(docs: DataFrame, id_col: str = "doc_id",
     exploded = _with_shingles(docs, id_col, text_col)
     h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MINHASH_P))
     staged = exploded.select("doc_id", h.alias("_h"))
-    aggs = [
-        F.min(
-            F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MINHASH_P))
-        ).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_perm_params(num_perm))
-    ]
+    aggs = _cached_cols(
+        "mh_aggs", (num_perm,),
+        lambda: [
+            F.min(
+                F.pmod(
+                    F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MINHASH_P)
+                )
+            ).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_perm_params(num_perm))
+        ],
+    )
     return staged.groupBy("doc_id").agg(*aggs)
 
 
@@ -459,22 +486,25 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     # would run the 128-min aggregation 16 times. The self-join's two
     # sides share one canonical subplan, so Spark's ReuseExchange
     # computes the aggregation + shuffle once.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bnd).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            f"mh_{bnd * per_band + j}"
-                            for j in range(per_band)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for bnd in range(bands)
-        ]
+    band_structs = _cached_cols(
+        "band_structs", (num_perm, bands),
+        lambda: F.array(
+            *[
+                F.struct(
+                    F.lit(bnd).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                f"mh_{bnd * per_band + j}"
+                                for j in range(per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for bnd in range(bands)
+            ]
+        ),
     )
     band_rows = sig.select(
         "doc_id", F.explode(band_structs).alias("bb")
