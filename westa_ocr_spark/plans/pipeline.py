@@ -330,23 +330,36 @@ def run_extraction_job(
             )
             manifest_thread.start()
 
-        # key stats: one aggregation over the staged batch, running on
-        # the MAIN thread concurrently with the manifest/lineage jobs
-        # (round 6, guide §2.6 overlap): the round-3 shape joined the
-        # manifest thread first and summed its output, serializing
-        # key_stats behind the manifest write + a read-back job; the
-        # counters are identical either way (global distinct (url,
-        # page_index) == the sum of per-url distinct page counts), and
-        # at bench scale the wall time of this leg is max(manifest,
-        # stats) instead of manifest + stats.
-        mstats = staged.agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.countDistinct("url", "page_index").alias("keys"),
-            F.countDistinct("url").alias("docs"),
-            F.countDistinct(
-                F.when(F.col("status") == "ERROR", F.col("url"))
-            ).alias("err_docs"),
-        ).collect()[0]
+        if first_run:
+            manifest_thread.join()
+            if manifest_err:
+                raise manifest_err[0]
+            # global key stats from the manifest output (one row per
+            # url): dup detection is still GLOBAL — per-url distinct
+            # page counts sum to the corpus-wide distinct key count.
+            mstats = (
+                spark.read.parquet(opt_manifest_path)
+                .agg(
+                    F.sum("total_blocks").alias("rows"),
+                    F.sum("distinct_blocks").alias("keys"),
+                    F.count(F.lit(1)).alias("docs"),
+                    F.count(
+                        F.when(F.col("status") == "ERROR", F.lit(1))
+                    ).alias("err_docs"),
+                )
+                .collect()[0]
+            )
+        else:
+            # incremental runs have no manifest thread: one keys-only
+            # aggregation over the (small) staged batch
+            mstats = staged.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.countDistinct("url", "page_index").alias("keys"),
+                F.countDistinct("url").alias("docs"),
+                F.countDistinct(
+                    F.when(F.col("status") == "ERROR", F.col("url"))
+                ).alias("err_docs"),
+            ).collect()[0]
         run_rows, run_keys, run_docs = (
             int(mstats["rows"]), int(mstats["keys"]), int(mstats["docs"])
         )
@@ -354,9 +367,6 @@ def run_extraction_job(
         has_dup_keys = run_keys != run_rows
         _mark("key_stats")
         if first_run:
-            manifest_thread.join()
-            if manifest_err and not has_dup_keys:
-                raise manifest_err[0]
             if has_dup_keys:
                 # rare: duplicate urls inside the very first batch —
                 # rewrite the sink deduplicated; the optimistic manifest
