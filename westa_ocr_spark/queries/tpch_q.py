@@ -873,7 +873,11 @@ def _q_tpch_q9(spark, sf):
     part = _t(spark, sf, "part").filter(F.col("p_name").contains("red"))
     supp = _t(spark, sf, "supplier")
     nation = _t(spark, sf, "nation")
-    orders = _t(spark, sf, "orders")
+    # year() evaluated once per ORDER on the build side instead of
+    # once per joined lineitem row (round 6; same int either way)
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
     price = F.col("l_extendedprice").cast("decimal(18,4)")
     disc = F.col("l_discount").cast("decimal(5,3)")
     qty = F.col("l_quantity").cast("decimal(12,2)")
@@ -889,7 +893,7 @@ def _q_tpch_q9(spark, sf):
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("o_year"),
+            "o_year",
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
@@ -1068,13 +1072,18 @@ def _q_tpch_q21(spark, sf):
     nation = _t(spark, sf, "nation").filter(
         F.col("n_name").isin("NATION_3", "NATION_4")
     )
+    # the +90-day cutoff is evaluated once per ORDER on the broadcast
+    # build side instead of once per joined lineitem row (round 6;
+    # identical timestamp arithmetic, 1.64 -> 1.50 s measured)
     lines = li.join(
-        orders.select("o_orderkey", "o_orderdate"),
+        orders.select(
+            "o_orderkey",
+            F.expr("o_orderdate + INTERVAL 90 DAYS").alias("o_cutoff"),
+        ),
         li.l_orderkey == F.col("o_orderkey"),
     ).select(
         "o_orderkey", "l_suppkey",
-        (F.col("l_shipdate")
-         > F.expr("o_orderdate + INTERVAL 90 DAYS")).alias("late"),
+        (F.col("l_shipdate") > F.col("o_cutoff")).alias("late"),
     )
     # Round 6 (guide §2.4): the per_supp ⋈ per_order self-join
     # duplicated the whole lineitem⋈orders⋈aggregate subtree — the
