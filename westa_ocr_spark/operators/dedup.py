@@ -426,16 +426,25 @@ def _perm_params(num_perm: int) -> list[tuple[int, int]]:
 # measured ~1 s of DRIVER time per query invocation (round 6, guide
 # §7.3 "planning time itself can become the bottleneck"). Column
 # objects are immutable expression handles, safe to reuse across
-# queries on the same context; keying by id(sc) drops the cache when
-# a new context (new JVM gateway) appears.
+# queries on the same context; a weakref IDENTITY check on the active
+# context invalidates the cache when a new context (new JVM gateway)
+# appears — id()-keying would risk serving a dead gateway's handles
+# after CPython recycles the old context's id.
 _EXPR_CACHE: dict = {}
+_EXPR_CACHE_SC = None  # weakref to the context the cache was built on
 
 
 def _cached_cols(kind: str, params: tuple, build):
+    import weakref
+
     from pyspark import SparkContext
 
+    global _EXPR_CACHE_SC
     sc = SparkContext._active_spark_context
-    key = (id(sc), kind, params)
+    if _EXPR_CACHE_SC is None or _EXPR_CACHE_SC() is not sc:
+        _EXPR_CACHE.clear()
+        _EXPR_CACHE_SC = weakref.ref(sc) if sc is not None else None
+    key = (kind, params)
     cols = _EXPR_CACHE.get(key)
     if cols is None:
         cols = build()
