@@ -310,3 +310,30 @@ def test_jpeg_mutation_total(pos, val, which):
         decode_jpeg(bytes(base))
     except ValueError:
         pass
+
+
+def test_jpeg_sos_zero_components_is_valueerror():
+    """Round-6 fuzz regression (pinned deterministically because the
+    hypothesis example DB is gitignored): a corrupted SOS whose Ns
+    byte reads 0 left scan_comps empty and index-crashed the
+    non-interleaved scan path; T.81 B.2.3 bounds 1 <= Ns <= 4."""
+    import numpy as np
+    import pytest
+
+    from westa_ocr_spark.kernel.jpeg_mini import (
+        decode_jpeg,
+        write_jpeg_color,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    rgb = np.stack(
+        [np.clip(yy * 3 + 16, 0, 255), np.clip(xx * 2 + 32, 0, 255),
+         np.clip(xx + yy + 64, 0, 255)], axis=2
+    ).astype(np.uint8)
+    buf = bytearray(write_jpeg_color(rgb, "420"))
+    # find the SOS marker and zero its Ns byte (first header byte)
+    sos = buf.find(b"\xff\xda")
+    assert sos >= 0
+    buf[sos + 4] = 0
+    with pytest.raises(ValueError, match="jpeg: "):
+        decode_jpeg(bytes(buf))

@@ -936,6 +936,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if not body:
                 raise ValueError("jpeg: empty SOS header")
             ns = body[0]
+            if not 1 <= ns <= 4:
+                # T.81 B.2.3: 1 <= Ns <= 4. A corrupted Ns of 0 would
+                # leave scan_comps empty and index-crash the
+                # non-interleaved path (round-6 fuzz).
+                raise ValueError("jpeg: invalid SOS component count")
             if len(body) < 4 + 2 * ns:
                 raise ValueError("jpeg: truncated SOS header")
             scan_comps: list[tuple[int, dict | None, dict | None]] = []
